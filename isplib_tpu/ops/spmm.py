@@ -1,0 +1,196 @@
+"""The public SpMM op: dispatch + full custom autograd.
+
+Replaces the reference's four ``torch::autograd::Function`` subclasses
+(``/root/reference/csrc/fusedmm.cpp:210-518``) with a single
+``jax.custom_vjp`` over the graph pytree and the dense operand.  Improvements
+over the reference autograd:
+
+* **grad_value (SDDMM) exists for sum and mean** — the reference returns an
+  empty Variable there (``csrc/fusedmm.cpp:268-272,349-353``), so learnable
+  edge weights silently get no gradient.  Here ``jax.grad`` w.r.t. the graph
+  returns a ``CSRGraph`` cotangent whose ``.value`` field is the true
+  edge-weight gradient.
+* The transpose operands (CSC view) are precomputed once in the graph
+  container instead of cached per-data_ptr in Python dicts
+  (``/root/reference/isplib/__init__.py:66-99``).
+
+Backward formulas (matching ``csrc/fusedmm.cpp`` where it has them):
+
+  sum : grad_x = SpMM(Aᵀ, g)                        (fusedmm.cpp:274-286)
+        grad_w[e] = <g[row[e]], x[col[e]]>          (SDDMM — ref gap)
+  mean: grad_x = SpMM(Aᵀ, g / max(deg,1))           (fusedmm.cpp:340-383)
+        grad_w[e] = <g[row[e]], x[col[e]]> / deg[row[e]]
+  max/min (fusedmm.cpp:410-451): gradients route only through the winning
+        edge per (row, feature), via the saved arg indices:
+        grad_x[col[arg[r,k]], k] += value[arg] * g[r,k]
+        grad_w[arg[r,k]]        += x[col[arg], k] * g[r,k]
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.graph import CSRGraph
+from .semiring import Reduce
+from . import xla_backend
+
+__all__ = ["spmm", "sddmm", "set_default_backend"]
+
+_DEFAULT_BACKEND = "auto"
+
+
+def set_default_backend(name: str) -> None:
+    """Set the process-wide default compute backend: auto|xla|pallas."""
+    global _DEFAULT_BACKEND
+    assert name in ("auto", "xla", "pallas")
+    _DEFAULT_BACKEND = name
+
+
+def _zero_graph_cotangent(graph: CSRGraph) -> CSRGraph:
+    """A cotangent pytree for CSRGraph: float leaves → zeros, int leaves →
+    float0 (JAX's unit cotangent type for non-differentiable dtypes)."""
+
+    def z(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(z, graph)
+
+
+def _forward(graph: CSRGraph, x: jax.Array, reduce: Reduce, backend: str):
+    if backend == "pallas":
+        from ..kernels import spmm_pallas  # deferred: optional path
+        return spmm_pallas.spmm_forward(graph, x, reduce)
+    return xla_backend.spmm_raw(
+        graph.row, graph.col, graph.value, graph.deg, x,
+        graph.num_rows, reduce,
+    )
+
+
+def _transpose_spmm(graph: CSRGraph, g: jax.Array, backend: str):
+    """SpMM with Aᵀ using the precomputed CSC view (always sum-reduce)."""
+    if backend == "pallas":
+        from ..kernels import spmm_pallas
+        return spmm_pallas.spmm_transpose_sum(graph, g)
+    return xla_backend.spmm_raw(
+        graph.csc_row, graph.csc_col, graph.csc_value, graph.deg_t, g,
+        graph.num_cols, Reduce.SUM,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spmm(graph: CSRGraph, x: jax.Array, reduce: str, backend: str):
+    return _forward(graph, x, Reduce.of(reduce), backend)
+
+
+def _spmm_fwd(graph: CSRGraph, x: jax.Array, reduce: str, backend: str):
+    r = Reduce.of(reduce)
+    if r in (Reduce.MAX, Reduce.MIN):
+        out, arg = xla_backend.spmm_arg_raw(
+            graph.row, graph.col, graph.value, graph.deg, x,
+            graph.num_rows, r,
+        )
+        return out, (graph, x, arg)
+    out = _forward(graph, x, r, backend)
+    return out, (graph, x, None)
+
+
+def _spmm_bwd(reduce: str, backend: str, res, g):
+    graph, x, arg = res
+    r = Reduce.of(reduce)
+
+    if r in (Reduce.SUM, Reduce.MEAN):
+        if r is Reduce.MEAN:
+            g_eff = g / jnp.maximum(graph.deg, 1.0)[:, None].astype(g.dtype)
+        else:
+            g_eff = g
+        grad_x = _transpose_spmm(graph, g_eff, backend)
+        grad_value = xla_backend.sddmm_dot_raw(graph.row, graph.col, g_eff, x)
+    else:
+        # arg: (R, K) winning edge ids (sentinel = pad edge nnz_padded-1).
+        num_cols, k = graph.num_cols, x.shape[1]
+        col_of_arg = jnp.take(graph.col, arg, axis=0)          # (R, K)
+        val_of_arg = jnp.take(graph.value, arg, axis=0)        # (R, K)
+        feat = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 1)
+        grad_x = (
+            jnp.zeros((num_cols + 1, k), g.dtype)
+            .at[col_of_arg, feat]
+            .add(val_of_arg.astype(g.dtype) * g)[:num_cols]
+        )
+        # x[col[arg[r,k]], k] — elementwise 2-D gather, no (R,K,K) blowup.
+        x_pad = jnp.concatenate([x, jnp.zeros((1, k), x.dtype)], axis=0)
+        x_sel = x_pad[col_of_arg, feat]
+        grad_value = (
+            jnp.zeros((graph.nnz_padded,), g.dtype)
+            .at[arg.reshape(-1)]
+            .add((x_sel * g).reshape(-1))
+        )
+        # Pad/sentinel edges must not carry gradient.
+        grad_value = grad_value.at[graph.nnz_padded - 1].set(0.0)
+
+    cot = _zero_graph_cotangent(graph)
+    grad_value = grad_value.astype(graph.value.dtype)
+    if grad_value.shape[0] > graph.nnz:
+        mask = jnp.arange(grad_value.shape[0]) < graph.nnz
+        grad_value = jnp.where(mask, grad_value, 0.0)
+    cot = dataclasses.replace(cot, value=grad_value)
+    return cot, grad_x.astype(x.dtype)
+
+
+_spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm(
+    graph: CSRGraph,
+    x: jax.Array,
+    reduce: str | Reduce = "sum",
+    backend: str | None = None,
+) -> jax.Array:
+    """Sparse-dense matmul ``out = reduce(A ⊙ x)`` with full autograd.
+
+    Drop-in functional equivalent of the reference's patched
+    ``torch_sparse.matmul(adj_t, x, reduce)``
+    (``/root/reference/isplib/__init__.py:140-155``).
+
+    Args:
+      graph: CSR adjacency (R × C).
+      x: dense operand, (C, K).
+      reduce: one of sum | mean | max | min.
+      backend: xla | pallas | auto (None → process default).
+    """
+    backend = backend or _DEFAULT_BACKEND
+    if backend == "auto":
+        backend = _choose_backend(graph, x)
+    reduce = Reduce.of(reduce).value
+    return _spmm(graph, x, reduce, backend)
+
+
+def _choose_backend(graph: CSRGraph, x: jax.Array) -> str:
+    """Cheap static heuristic; the autotuner (isplib_tpu.tune) overrides
+    this with measured choices."""
+    from ..tune import autotune
+    return autotune.lookup_backend(graph, x)
+
+
+def sddmm(
+    graph: CSRGraph,
+    a: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """Sampled dense-dense matmul: per-edge ``<a[row[e]], b[col[e]]>``.
+
+    Returns a (nnz_padded,) vector in CSR edge order (pad entries 0);
+    combine with ``graph.with_value`` for attention-style edge weights.
+    Differentiable via standard JAX AD.
+    """
+    out = xla_backend.sddmm_dot_raw(graph.row, graph.col, a, b)
+    if graph.nnz_padded > graph.nnz:
+        mask = jnp.arange(graph.nnz_padded) < graph.nnz
+        out = jnp.where(mask, out, 0.0)
+    return out

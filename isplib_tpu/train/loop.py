@@ -1,0 +1,177 @@
+"""Full-batch node-classification training loop.
+
+Reproduces the reference benchmark protocol exactly
+(``/root/reference/tests/cpu/gcn-sparse.py:76-126``): Adam(lr=0.01,
+weight_decay=5e-4) — torch-style L2-coupled Adam, matched with
+``optax.add_decayed_weights`` *before* the Adam transform — fixed seed,
+per-epoch wall-clock, and the TRG_TM / TRG_STD / TST_TM / TRG_ACC /
+TST_ACC table.  The whole epoch (forward, loss, backward, update, train
+accuracy) runs inside one jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.synthetic import NodeDataset
+
+__all__ = ["TrainResult", "train_node_classifier", "make_train_step"]
+
+
+@dataclasses.dataclass
+class TrainResult:
+    train_time_avg: float
+    train_time_std: float
+    test_time: float
+    train_acc: float
+    test_acc: float
+    epoch_times: list[float]
+    params: Any
+    batch_stats: Any
+
+    def table(self) -> str:
+        """The reference's result table (gcn-sparse.py:118-126)."""
+        hdr = "\t".join(["TRG_TM", "TRG_STD", "TST_TM", "TRG_ACC", "TST_ACC"])
+        row = (f"{self.train_time_avg:.4}\t{self.train_time_std:.4}\t"
+               f"{self.test_time:.4}\t{self.train_acc:.4}\t{self.test_acc:.4}")
+        return f"{hdr}\n{'-' * 40}\n{row}"
+
+
+def _loss_fn(logits: jax.Array, y: jax.Array, mask: jax.Array,
+             loss: str) -> jax.Array:
+    """Masked mean loss.  'nll' expects log-probs (GCN/SAGE emit
+    log_softmax); 'ce' expects raw logits (GIN, gin-sparse.py:100)."""
+    if loss == "nll":
+        per = -jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
+    else:
+        per = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+    m = mask.astype(per.dtype)
+    return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def _masked_acc(logits, y, mask):
+    pred = jnp.argmax(logits, axis=-1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum((pred == y) * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_train_step(model, optimizer, graph, loss: str = "nll",
+                    has_batch_stats: bool = False):
+    """One jitted epoch: grad + update + train accuracy."""
+
+    def step(params, batch_stats, opt_state, x, y, mask, rng):
+        def loss_of(p):
+            variables = {"params": p}
+            if has_batch_stats:
+                variables["batch_stats"] = batch_stats
+                logits, updates = model.apply(
+                    variables, graph, x, training=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                new_bs = updates["batch_stats"]
+            else:
+                logits = model.apply(variables, graph, x, training=True,
+                                     rngs={"dropout": rng})
+                new_bs = batch_stats
+            return _loss_fn(logits, y, mask, loss), (logits, new_bs)
+
+        (lval, (logits, new_bs)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        acc = _masked_acc(logits, y, mask)
+        return new_params, new_bs, new_opt_state, lval, acc
+
+    # Note: no buffer donation — the warm-up call reuses the initial params.
+    return jax.jit(step)
+
+
+def train_node_classifier(
+    model,
+    ds: NodeDataset,
+    epochs: int = 2,
+    lr: float = 0.01,
+    weight_decay: float = 5e-4,
+    seed: int = 0,
+    loss: Optional[str] = None,
+    verbose: bool = False,
+) -> TrainResult:
+    graph = ds.graph
+    x = jnp.asarray(ds.x)
+    y = jnp.asarray(ds.y)
+    train_mask = jnp.asarray(ds.train_mask)
+    test_mask = jnp.asarray(ds.test_mask)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, graph, x, training=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    has_bs = batch_stats is not None
+
+    if loss is None:
+        loss = "ce" if has_bs else "nll"  # GIN emits logits
+
+    optimizer = optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr),
+    )
+    opt_state = optimizer.init(params)
+
+    step = make_train_step(model, optimizer, graph, loss=loss,
+                           has_batch_stats=has_bs)
+
+    # Warm-up compile outside the timed region (first epoch would otherwise
+    # absorb XLA compile time; the reference similarly excludes import-time
+    # kernel autotuning from its epoch timer).
+    p_w, bs_w, os_w, _, _ = step(params, batch_stats, opt_state, x, y,
+                                 train_mask, rng)
+    jax.block_until_ready(p_w)
+    del p_w, bs_w, os_w
+    # donated buffers: re-materialize
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    opt_state = optimizer.init(params)
+
+    epoch_times = []
+    train_acc = 0.0
+    for _ in range(epochs):
+        rng, drop_rng = jax.random.split(rng)
+        t0 = time.perf_counter()
+        params, batch_stats, opt_state, lval, acc = step(
+            params, batch_stats, opt_state, x, y, train_mask, drop_rng)
+        jax.block_until_ready(params)
+        epoch_times.append(time.perf_counter() - t0)
+        train_acc = float(acc)
+        if verbose:
+            print(f"epoch time {epoch_times[-1]:.4f}s loss {float(lval):.4f}"
+                  f" acc {train_acc:.4f}")
+
+    # Test: eval-mode forward (gcn-sparse.py:98-106)
+    variables = {"params": params}
+    if has_bs:
+        variables["batch_stats"] = batch_stats
+    eval_fn = jax.jit(
+        lambda v, x_: model.apply(v, graph, x_, training=False))
+    logits = jax.block_until_ready(eval_fn(variables, x))  # compile
+    t0 = time.perf_counter()
+    logits = jax.block_until_ready(eval_fn(variables, x))
+    test_time = time.perf_counter() - t0
+    test_acc = float(_masked_acc(logits, y, test_mask))
+
+    return TrainResult(
+        train_time_avg=float(np.mean(epoch_times)),
+        train_time_std=float(np.std(epoch_times)),
+        test_time=test_time,
+        train_acc=train_acc,
+        test_acc=test_acc,
+        epoch_times=epoch_times,
+        params=params,
+        batch_stats=batch_stats,
+    )
