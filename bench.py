@@ -64,35 +64,76 @@ def _cached_graph(name: str, scale: float, edge_multiple: int):
     from isplib_tpu.sparse.graph import CSRGraph
     import jax.numpy as jnp
 
-    if os.path.exists(path):
-        log(f"loading cached bench graph {path}")
-        with np.load(path) as z:
-            arrays = {k: jnp.asarray(z[k]) for k in z.files
-                      if k not in ("num_rows", "num_cols", "nnz", "x", "y",
-                                   "train_mask", "test_mask")}
-            graph = CSRGraph(**arrays, num_rows=int(z["num_rows"]),
-                             num_cols=int(z["num_cols"]), nnz=int(z["nnz"]))
-            return graph, z["x"], z["y"], z["train_mask"], z["test_mask"]
+    if not os.path.exists(path):
+        # Generate on host and persist the raw numpy forms.  We regenerate
+        # the dataset with the graph kept OFF-device (device→host readback
+        # through the TPU tunnel is pathologically slow), so cache-building
+        # goes through from_edge_index's host arrays.
+        t0 = time.time()
+        from isplib_tpu.data.loaders import DATASET_STATS
+        from isplib_tpu.sparse.graph import _build_arrays
+        from isplib_tpu.data.synthetic import rmat_edges, _split_masks
+        base = name[:-4] if name.endswith("-sim") else name
+        n, e, f, c = DATASET_STATS[base]
+        n, e = int(n * scale), int(e * scale)
+        rng = np.random.default_rng((hash(base) % (2**31)) + 1)
+        ei = rmat_edges(n, e, hash(base) % (2**31))
+        arrays = _build_arrays(ei[1], ei[0], None, n, n, edge_multiple)
+        y = rng.integers(0, c, size=n).astype(np.int32)
+        centers = rng.normal(size=(c, f)).astype(np.float32)
+        x = (centers[y] + rng.normal(scale=2.0, size=(n, f))
+             ).astype(np.float32)
+        masks = _split_masks(n, rng)
+        log(f"generated {base}-sim: {n} nodes, {arrays['nnz']} edges "
+            f"in {time.time() - t0:.1f}s")
+        np.savez(path, **arrays, x=x, y=y, train_mask=masks[0],
+                 test_mask=masks[2])
 
-    t0 = time.time()
-    ds = load(name, scale=scale)
-    log(f"generated {ds.name}: {ds.num_nodes} nodes, {ds.graph.nnz} edges "
-        f"in {time.time() - t0:.1f}s")
-    g = ds.graph
-    np.savez(
-        path,
-        **{f: np.asarray(getattr(g, f)) for f in (
-            "rowptr", "row", "col", "value", "csc_colptr", "csc_row",
-            "csc_col", "csc_value", "csc2csr", "deg", "deg_t")},
-        num_rows=g.num_rows, num_cols=g.num_cols, nnz=g.nnz,
-        x=ds.x, y=ds.y, train_mask=ds.train_mask, test_mask=ds.test_mask,
-    )
-    return g, ds.x, ds.y, ds.train_mask, ds.test_mask
+    log(f"loading bench graph {path}")
+    with np.load(path) as z:
+        np_arrays = {k: z[k] for k in z.files}
+    aux = {k: np_arrays.pop(k) for k in ("x", "y", "train_mask",
+                                         "test_mask")}
+    np_arrays["num_rows"] = int(np_arrays["num_rows"])
+    np_arrays["num_cols"] = int(np_arrays["num_cols"])
+    np_arrays["nnz"] = int(np_arrays["nnz"])
+    graph = CSRGraph(**{
+        k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+        for k, v in np_arrays.items()})
+    return (graph, np_arrays, aux["x"], aux["y"], aux["train_mask"],
+            aux["test_mask"])
+
+
+def chain_time(f, x0, iters: int) -> float:
+    """Seconds per call, measured by CHAINING calls (output feeds input)
+    and draining the device queue with one scalar readback.
+
+    Rationale: on this environment's tunneled TPU, ``block_until_ready``
+    returns before device execution completes and per-call readback has
+    ~0.5 s latency — per-call timing is pure noise.  Chained submission +
+    single drain measures true device throughput (device executes the
+    queue serially).
+    """
+    import jax.numpy as jnp
+
+    o = f(x0)
+    _ = float(jnp.sum(o))  # compile + drain
+    t0 = time.perf_counter()
+    o = f(x0)
+    _ = float(jnp.sum(o))
+    lat1 = time.perf_counter() - t0  # single-call incl. readback latency
+    t0 = time.perf_counter()
+    o = x0
+    for _ in range(iters):
+        o = f(o)
+    _ = float(jnp.sum(o))
+    total = time.perf_counter() - t0
+    return max((total - lat1) / max(iters - 1, 1), 1e-9)
 
 
 def bench_spmm(graph, k: int, iters: int, backend: str, reduce: str = "sum",
                with_grad: bool = False) -> float:
-    """Median seconds per SpMM call."""
+    """Seconds per SpMM call (chained measurement)."""
     import jax
     import jax.numpy as jnp
     from isplib_tpu import spmm
@@ -101,20 +142,16 @@ def bench_spmm(graph, k: int, iters: int, backend: str, reduce: str = "sum",
         np.random.default_rng(0).normal(
             size=(graph.num_cols, k)).astype(np.float32))
 
+    # ×1e-3 keeps chained magnitudes bounded (sum-reduce amplifies by the
+    # average degree per iteration; bench graphs are square so shapes chain)
     if with_grad:
         f = jax.jit(jax.grad(
-            lambda x_: spmm(graph, x_, reduce=reduce, backend=backend).sum()))
+            lambda x_: spmm(graph, x_, reduce=reduce,
+                            backend=backend).sum() * 1e-3))
     else:
         f = jax.jit(lambda x_: spmm(graph, x_, reduce=reduce,
-                                    backend=backend))
-    out = jax.block_until_ready(f(x))  # compile
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
-        times.append(time.perf_counter() - t0)
-    del out
-    return float(np.median(times))
+                                    backend=backend) * 1e-3)
+    return chain_time(f, x, iters)
 
 
 def bench_gcn_epoch(graph, x, y, train_mask, epochs: int,
@@ -138,21 +175,36 @@ def bench_gcn_epoch(graph, x, y, train_mask, epochs: int,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="reddit")
-    ap.add_argument("--scale", type=float, default=1.0)
+    # Default scale 0.05 (~5.7M edges): host→device transfer through this
+    # environment's TPU tunnel runs at ~1-2 MB/s, so a full 115M-edge graph
+    # (GBs of arrays) cannot be uploaded in a reasonable bench budget.
+    # Edges/s throughput is scale-insensitive once the kernel saturates.
+    ap.add_argument("--scale", type=float, default=0.05)
     ap.add_argument("--k", type=int, default=32)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--edge-multiple", type=int, default=4096)
     ap.add_argument("--skip-gcn", action="store_true")
+    ap.add_argument("--rb", type=int, default=256)
+    ap.add_argument("--ct", type=int, default=512)
+    ap.add_argument("--eb", type=int, default=512)
     args = ap.parse_args()
 
     import jax
     log(f"devices: {jax.devices()}")
 
-    graph, x, y, train_mask, test_mask = _cached_graph(
+    graph, np_arrays, x, y, train_mask, test_mask = _cached_graph(
         args.dataset, args.scale, args.edge_multiple)
     log(f"graph: {graph.shape}, nnz={graph.nnz}")
+
+    if args.backend in ("pallas", "auto"):
+        from isplib_tpu.sparse.tiling import build_tiling_from_numpy
+        t0 = time.time()
+        graph = build_tiling_from_numpy(graph, np_arrays, rb=args.rb,
+                                        ct=args.ct, eb=args.eb)
+        log(f"tiling plan built in {time.time() - t0:.1f}s: "
+            f"nc={graph.fwd.nc}, fill={graph.fwd.fill_fraction:.2f}")
 
     t_spmm = bench_spmm(graph, args.k, args.iters, args.backend)
     edges_per_s = graph.nnz / t_spmm

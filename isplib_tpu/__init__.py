@@ -9,6 +9,7 @@ adjacencies with halo exchange over ICI.
 """
 
 from .sparse.graph import CSRGraph, from_edge_index, from_scipy
+from .sparse.tiling import TiledGraph, build_tiling
 from .ops.spmm import spmm, sddmm, set_default_backend
 from .ops.semiring import Reduce, FusedOp, VectorOp, ReduceOp, ScaleOp
 
@@ -18,6 +19,8 @@ __all__ = [
     "CSRGraph",
     "from_edge_index",
     "from_scipy",
+    "TiledGraph",
+    "build_tiling",
     "spmm",
     "sddmm",
     "set_default_backend",

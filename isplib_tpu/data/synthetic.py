@@ -87,6 +87,7 @@ def rmat_dataset(
     edge_multiple: int = 4096,
     undirected: bool = True,
     feature_dtype=np.float32,
+    tiling: Optional[tuple[int, int, int]] = None,
 ) -> NodeDataset:
     """Size-matched benchmark dataset: RMAT structure + SBM-style learnable
     signal (community-biased extra edges and class-correlated features)."""
@@ -95,7 +96,7 @@ def rmat_dataset(
     if undirected:
         ei = np.concatenate([ei, ei[::-1]], axis=1)
     graph = from_edge_index(ei, num_nodes=num_nodes,
-                            edge_multiple=edge_multiple)
+                            edge_multiple=edge_multiple, tiling=tiling)
 
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
     centers = rng.normal(size=(num_classes, num_features)).astype(np.float32)
@@ -117,6 +118,7 @@ def sbm_dataset(
     seed: int = 0,
     edge_multiple: int = 512,
     name: str = "sbm",
+    tiling: Optional[tuple[int, int, int]] = None,
 ) -> NodeDataset:
     """Stochastic-block-model dataset where neighborhood aggregation is
     genuinely informative — a trained GCN separates classes that raw
@@ -136,7 +138,7 @@ def sbm_dataset(
     ei = np.stack([src[keep], dst[keep]])
     ei = np.concatenate([ei, ei[::-1]], axis=1)
     graph = from_edge_index(ei, num_nodes=num_nodes,
-                            edge_multiple=edge_multiple)
+                            edge_multiple=edge_multiple, tiling=tiling)
 
     centers = rng.normal(size=(num_classes, num_features)).astype(np.float32)
     x = (centers[y] + noise * rng.normal(

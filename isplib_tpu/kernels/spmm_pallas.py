@@ -1,0 +1,240 @@
+"""Pallas TPU SpMM — the native kernel replacing FusedMM's OpenMP core.
+
+Design (vs the reference): FusedMM parallelizes CSR rows across OpenMP
+threads and vectorizes the K loop with AVX
+(``/root/reference/csrc/fusedMM.h``, ``README.md:17``).  A TPU has no
+scatter/gather vector ISA worth using — its throughput lives in the MXU —
+so the kernel reformulates SpMM as *two dense one-hot matmuls per edge
+chunk*, with all irregularity moved into a host-side tiling plan
+(:mod:`isplib_tpu.sparse.tiling`):
+
+    gathered = OneHot(local_cols)ᵀ · x_tile        # (eb,ct)·(ct,K) gather
+    out_tile += (OneHot(local_rows)·diag(vals)) · gathered
+                                                   # (rb,eb)·(eb,K) scatter-add
+
+Both products run on the 128×128 systolic array; no dynamic indexing
+exists anywhere in the compute.  Per-edge cost is 2·K·(ct + rb) MACs —
+tile sizes trade MXU/VPU work against chunk-padding waste; the autotuner
+searches (rb, ct, eb) per graph.
+
+Grid strategy: ONE grid step per output row block, with an inner
+double-buffered DMA loop over that block's edge chunks (packed indices and
+the referenced x column-tile are streamed HBM→VMEM while the previous
+chunk computes).  A chunk-per-grid-step variant was measured at ~7 µs of
+fixed per-step overhead (index-map scalar reads + block DMA programming),
+flat in K — the row-block grid amortizes that overhead across all chunks
+of a block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.semiring import Reduce
+from ..ops import xla_backend
+from ..sparse.tiling import TiledGraph, TiledPlan, base_graph
+
+__all__ = ["spmm_tiled", "spmm_forward", "spmm_transpose_sum"]
+
+_LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chunk_compute(rows, cols, vals, xt_tile, rb, ct, eb, compute_dtype,
+                   precision):
+    """(K, rb) contribution of one chunk, all-transposed layout.
+
+    rows/cols (sub, 128) int32, vals (sub, 128) f32, xt_tile (K, ct).
+    The transposed layout keeps K on sublanes so small feature widths
+    (K=32 is the reference benchmark width) need no lane padding —
+    Mosaic requires lane-dim slices be 128-aligned.
+    """
+    acc = None
+    xt_c = xt_tile.astype(compute_dtype)
+    for j in range(eb // _LANE):
+        cols_j = cols[j]            # (128,)
+        rows_j = rows[j]
+        vals_j = vals[j]
+        # Gather: xtᵀ-tile (K, ct) · one-hot (ct, 128) → (K, 128)
+        gather_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (ct, _LANE), 0)
+            == cols_j[None, :]
+        ).astype(compute_dtype)
+        gathered = jax.lax.dot_general(
+            xt_c, gather_oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                            # (K, 128)
+        # Scatter-add: (K, 128) · value-weighted one-hotᵀ (128, rb) → (K, rb)
+        scatter_oh = (
+            jax.lax.broadcasted_iota(jnp.int32, (_LANE, rb), 1)
+            == rows_j[:, None]
+        ).astype(compute_dtype) * vals_j[:, None].astype(compute_dtype)
+        part = jax.lax.dot_general(
+            gathered.astype(compute_dtype), scatter_oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )                            # (K, rb)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _spmm_rowblock_kernel(
+    # scalar prefetch
+    chunk_starts_ref, ct_ids_ref,
+    # tensor inputs (HBM)
+    edges_hbm, x_hbm,
+    # output (VMEM block)
+    out_ref,
+    # scratch
+    edges_buf, x_buf, edge_sems, x_sems,
+    *,
+    rb: int, ct: int, eb: int, compute_dtype, precision,
+):
+    i = pl.program_id(0)
+    start = chunk_starts_ref[i]
+    end = chunk_starts_ref[i + 1]
+    n_chunks = end - start
+
+    def edge_dma(slot, c):
+        return pltpu.make_async_copy(
+            edges_hbm.at[c], edges_buf.at[slot], edge_sems.at[slot])
+
+    def x_dma(slot, c):
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(ct_ids_ref[c] * ct, ct)],
+            x_buf.at[slot], x_sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        edge_dma(0, start).start()
+        x_dma(0, start).start()
+
+    def body(j, acc):
+        slot = jax.lax.rem(j, 2)
+        nslot = 1 - slot
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            edge_dma(nslot, start + j + 1).start()
+            x_dma(nslot, start + j + 1).start()
+
+        edge_dma(slot, start + j).wait()
+        x_dma(slot, start + j).wait()
+
+        rows = edges_buf[slot, 0]
+        cols = edges_buf[slot, 1]
+        vals = pltpu.bitcast(edges_buf[slot, 2], jnp.float32)
+        contrib = _chunk_compute(rows, cols, vals, x_buf[slot],
+                                 rb, ct, eb, compute_dtype, precision)
+        return acc + contrib
+
+    k = out_ref.shape[0]
+    init = jnp.zeros((k, rb), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "precision", "interpret"))
+def _spmm_tiled_call(plan: TiledPlan, x: jax.Array, compute_dtype,
+                     precision, interpret: bool) -> jax.Array:
+    k = x.shape[1]
+    rb, ct, eb, nc = plan.rb, plan.ct, plan.eb, plan.nc
+    c_padded, r_padded, nrb = plan.c_padded, plan.r_padded, plan.nrb
+    sub = eb // _LANE
+    # K sits on sublanes in the transposed layout: pad to the sublane tile.
+    k_pad = _round_up(k, 32)
+
+    xt = jnp.zeros((k_pad, c_padded), x.dtype)
+    xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
+
+    kernel = functools.partial(
+        _spmm_rowblock_kernel, rb=rb, ct=ct, eb=eb,
+        compute_dtype=compute_dtype, precision=precision)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nrb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # edges (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # xᵀ (HBM)
+        ],
+        out_specs=pl.BlockSpec((k_pad, rb), lambda i, cs, ctm: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),   # edge double-buffer
+            pltpu.VMEM((2, k_pad, ct), x.dtype),         # xᵀ-tile double-buffer
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    flops = 2 * nc * eb * k_pad * (ct + rb)
+    bytes_accessed = (nc * (3 * eb * 4 + ct * k_pad * x.dtype.itemsize)
+                      + r_padded * k_pad * 4)
+
+    out_t = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_pad, r_padded), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(plan.chunk_starts, plan.ct_ids, plan.edges, xt)
+    return out_t[:k, : plan.num_rows].T
+
+
+def spmm_tiled(plan: TiledPlan, x: jax.Array,
+               compute_dtype=jnp.bfloat16,
+               precision=jax.lax.Precision.DEFAULT) -> jax.Array:
+    """Sum-reduce SpMM over a tiling plan.
+
+    Defaults to bf16 one-hot operands (the MXU-native mode): expect
+    ~1e-3 relative error vs the fp32 XLA oracle on unit-scale data —
+    measured on-chip, Mosaic executes bf16 passes even when f32/HIGHEST
+    is requested, at ~2x the cost, so f32 buys nothing here.  Interpret
+    mode (CPU tests) computes exactly.  GNN training is insensitive to
+    bf16 aggregation error (standard TPU practice).
+    """
+    return _spmm_tiled_call(plan, x, compute_dtype, precision, _interpret())
+
+
+def spmm_forward(graph: TiledGraph, x: jax.Array, reduce: Reduce):
+    """Forward SpMM for the pallas backend (dispatcher entry point)."""
+    reduce = Reduce.of(reduce)
+    base = base_graph(graph)
+    if not isinstance(graph, TiledGraph) or reduce in (Reduce.MAX,
+                                                       Reduce.MIN):
+        # max/min carry data-dependent arg state — stays on the XLA path
+        # until the dedicated kernel lands.
+        return xla_backend.spmm_raw(base.row, base.col, base.value,
+                                    base.deg, x, base.num_rows, reduce)
+    out = spmm_tiled(graph.fwd, x)
+    if reduce is Reduce.MEAN:
+        out = out / jnp.maximum(base.deg, 1.0)[:, None].astype(out.dtype)
+    return out.astype(x.dtype)
+
+
+def spmm_transpose_sum(graph: TiledGraph, g: jax.Array) -> jax.Array:
+    """grad_x = SpMM(Aᵀ, g) via the precomputed transpose plan."""
+    base = base_graph(graph)
+    if not isinstance(graph, TiledGraph):
+        return xla_backend.spmm_raw(base.csc_row, base.csc_col,
+                                    base.csc_value, base.deg_t, g,
+                                    base.num_cols, Reduce.SUM)
+    return spmm_tiled(graph.bwd, g).astype(g.dtype)

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sparse.graph import CSRGraph
+from ..sparse.tiling import TiledGraph, base_graph
 from .semiring import Reduce
 from . import xla_backend
 
@@ -63,24 +64,26 @@ def _zero_graph_cotangent(graph: CSRGraph) -> CSRGraph:
     return jax.tree_util.tree_map(z, graph)
 
 
-def _forward(graph: CSRGraph, x: jax.Array, reduce: Reduce, backend: str):
+def _forward(graph, x: jax.Array, reduce: Reduce, backend: str):
     if backend == "pallas":
         from ..kernels import spmm_pallas  # deferred: optional path
         return spmm_pallas.spmm_forward(graph, x, reduce)
+    base = base_graph(graph)
     return xla_backend.spmm_raw(
-        graph.row, graph.col, graph.value, graph.deg, x,
-        graph.num_rows, reduce,
+        base.row, base.col, base.value, base.deg, x,
+        base.num_rows, reduce,
     )
 
 
-def _transpose_spmm(graph: CSRGraph, g: jax.Array, backend: str):
+def _transpose_spmm(graph, g: jax.Array, backend: str):
     """SpMM with Aᵀ using the precomputed CSC view (always sum-reduce)."""
     if backend == "pallas":
         from ..kernels import spmm_pallas
         return spmm_pallas.spmm_transpose_sum(graph, g)
+    base = base_graph(graph)
     return xla_backend.spmm_raw(
-        graph.csc_row, graph.csc_col, graph.csc_value, graph.deg_t, g,
-        graph.num_cols, Reduce.SUM,
+        base.csc_row, base.csc_col, base.csc_value, base.deg_t, g,
+        base.num_cols, Reduce.SUM,
     )
 
 
@@ -89,12 +92,13 @@ def _spmm(graph: CSRGraph, x: jax.Array, reduce: str, backend: str):
     return _forward(graph, x, Reduce.of(reduce), backend)
 
 
-def _spmm_fwd(graph: CSRGraph, x: jax.Array, reduce: str, backend: str):
+def _spmm_fwd(graph, x: jax.Array, reduce: str, backend: str):
     r = Reduce.of(reduce)
     if r in (Reduce.MAX, Reduce.MIN):
+        base = base_graph(graph)
         out, arg = xla_backend.spmm_arg_raw(
-            graph.row, graph.col, graph.value, graph.deg, x,
-            graph.num_rows, r,
+            base.row, base.col, base.value, base.deg, x,
+            base.num_rows, r,
         )
         return out, (graph, x, arg)
     out = _forward(graph, x, r, backend)
@@ -103,20 +107,21 @@ def _spmm_fwd(graph: CSRGraph, x: jax.Array, reduce: str, backend: str):
 
 def _spmm_bwd(reduce: str, backend: str, res, g):
     graph, x, arg = res
+    base = base_graph(graph)
     r = Reduce.of(reduce)
 
     if r in (Reduce.SUM, Reduce.MEAN):
         if r is Reduce.MEAN:
-            g_eff = g / jnp.maximum(graph.deg, 1.0)[:, None].astype(g.dtype)
+            g_eff = g / jnp.maximum(base.deg, 1.0)[:, None].astype(g.dtype)
         else:
             g_eff = g
         grad_x = _transpose_spmm(graph, g_eff, backend)
-        grad_value = xla_backend.sddmm_dot_raw(graph.row, graph.col, g_eff, x)
+        grad_value = xla_backend.sddmm_dot_raw(base.row, base.col, g_eff, x)
     else:
         # arg: (R, K) winning edge ids (sentinel = pad edge nnz_padded-1).
-        num_cols, k = graph.num_cols, x.shape[1]
-        col_of_arg = jnp.take(graph.col, arg, axis=0)          # (R, K)
-        val_of_arg = jnp.take(graph.value, arg, axis=0)        # (R, K)
+        num_cols, k = base.num_cols, x.shape[1]
+        col_of_arg = jnp.take(base.col, arg, axis=0)           # (R, K)
+        val_of_arg = jnp.take(base.value, arg, axis=0)         # (R, K)
         feat = jax.lax.broadcasted_iota(jnp.int32, arg.shape, 1)
         grad_x = (
             jnp.zeros((num_cols + 1, k), g.dtype)
@@ -127,19 +132,23 @@ def _spmm_bwd(reduce: str, backend: str, res, g):
         x_pad = jnp.concatenate([x, jnp.zeros((1, k), x.dtype)], axis=0)
         x_sel = x_pad[col_of_arg, feat]
         grad_value = (
-            jnp.zeros((graph.nnz_padded,), g.dtype)
+            jnp.zeros((base.nnz_padded,), g.dtype)
             .at[arg.reshape(-1)]
             .add((x_sel * g).reshape(-1))
         )
         # Pad/sentinel edges must not carry gradient.
-        grad_value = grad_value.at[graph.nnz_padded - 1].set(0.0)
+        grad_value = grad_value.at[base.nnz_padded - 1].set(0.0)
 
     cot = _zero_graph_cotangent(graph)
-    grad_value = grad_value.astype(graph.value.dtype)
-    if grad_value.shape[0] > graph.nnz:
-        mask = jnp.arange(grad_value.shape[0]) < graph.nnz
+    grad_value = grad_value.astype(base.value.dtype)
+    if grad_value.shape[0] > base.nnz:
+        mask = jnp.arange(grad_value.shape[0]) < base.nnz
         grad_value = jnp.where(mask, grad_value, 0.0)
-    cot = dataclasses.replace(cot, value=grad_value)
+    if isinstance(graph, TiledGraph):
+        cot = dataclasses.replace(
+            cot, graph=dataclasses.replace(cot.graph, value=grad_value))
+    else:
+        cot = dataclasses.replace(cot, value=grad_value)
     return cot, grad_x.astype(x.dtype)
 
 
@@ -171,15 +180,17 @@ def spmm(
     return _spmm(graph, x, reduce, backend)
 
 
-def _choose_backend(graph: CSRGraph, x: jax.Array) -> str:
+def _choose_backend(graph, x: jax.Array) -> str:
     """Cheap static heuristic; the autotuner (isplib_tpu.tune) overrides
     this with measured choices."""
+    if isinstance(graph, TiledGraph):
+        return "pallas"
     from ..tune import autotune
     return autotune.lookup_backend(graph, x)
 
 
 def sddmm(
-    graph: CSRGraph,
+    graph,
     a: jax.Array,
     b: jax.Array,
 ) -> jax.Array:
@@ -189,8 +200,9 @@ def sddmm(
     combine with ``graph.with_value`` for attention-style edge weights.
     Differentiable via standard JAX AD.
     """
-    out = xla_backend.sddmm_dot_raw(graph.row, graph.col, a, b)
-    if graph.nnz_padded > graph.nnz:
-        mask = jnp.arange(graph.nnz_padded) < graph.nnz
+    base = base_graph(graph)
+    out = xla_backend.sddmm_dot_raw(base.row, base.col, a, b)
+    if base.nnz_padded > base.nnz:
+        mask = jnp.arange(base.nnz_padded) < base.nnz
         out = jnp.where(mask, out, 0.0)
     return out

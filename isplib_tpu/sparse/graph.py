@@ -206,22 +206,33 @@ def _build_arrays(
     deg = counts.astype(np.float32)
     deg_t = col_counts.astype(np.float32)
 
+    # All-numpy result: device conversion happens once in _to_device.
+    # (Device→host readback through this environment's TPU tunnel is
+    # extremely slow, so anything host-side — tiling plans, partitioning —
+    # must consume these numpy forms, never np.asarray(device_array).)
     return dict(
-        rowptr=jnp.asarray(rowptr, jnp.int32),
-        row=jnp.asarray(row_p, jnp.int32),
-        col=jnp.asarray(col_p, jnp.int32),
-        value=jnp.asarray(val_p, jnp.float32),
-        csc_colptr=jnp.asarray(csc_colptr, jnp.int32),
-        csc_row=jnp.asarray(csc_col, jnp.int32),   # transpose: row' = col
-        csc_col=jnp.asarray(csc_row, jnp.int32),   # transpose: col' = row
-        csc_value=jnp.asarray(csc_val, jnp.float32),
-        csc2csr=jnp.asarray(csc_perm, jnp.int32),
-        deg=jnp.asarray(deg, jnp.float32),
-        deg_t=jnp.asarray(deg_t, jnp.float32),
+        rowptr=rowptr.astype(np.int32),
+        row=row_p.astype(np.int32),
+        col=col_p.astype(np.int32),
+        value=val_p.astype(np.float32),
+        csc_colptr=csc_colptr.astype(np.int32),
+        csc_row=csc_col.astype(np.int32),   # transpose: row' = col
+        csc_col=csc_row.astype(np.int32),   # transpose: col' = row
+        csc_value=csc_val.astype(np.float32),
+        csc2csr=csc_perm.astype(np.int32),
+        deg=deg,
+        deg_t=deg_t,
         num_rows=int(num_rows),
         num_cols=int(num_cols),
         nnz=nnz,
     )
+
+
+def _to_device(arrays: dict) -> dict:
+    out = {}
+    for k, v in arrays.items():
+        out[k] = jnp.asarray(v) if isinstance(v, np.ndarray) else v
+    return out
 
 
 def from_edge_index(
@@ -231,7 +242,8 @@ def from_edge_index(
     edge_value: Optional[np.ndarray] = None,
     edge_multiple: int = 512,
     transposed: bool = True,
-) -> CSRGraph:
+    tiling: Optional[tuple[int, int, int]] = None,
+):
     """Build a CSRGraph from a (2, E) COO edge_index.
 
     With ``transposed=True`` (default) the result is the *transposed*
@@ -239,6 +251,10 @@ def from_edge_index(
     ``ToSparseTensor`` transform that the reference applies to every dataset
     (``/root/reference/tests/cpu/dataset_loader.py``): edge (src, dst) becomes
     entry (row=dst, col=src).
+
+    With ``tiling=(rb, ct, eb)`` the result is a
+    :class:`~isplib_tpu.sparse.tiling.TiledGraph` with Pallas execution
+    plans built directly from the host arrays (no device round trip).
     """
     edge_index = np.asarray(edge_index)
     src, dst = edge_index[0], edge_index[1]
@@ -252,10 +268,11 @@ def from_edge_index(
     num_cols = num_src_nodes if num_src_nodes is not None else num_nodes
     arrays = _build_arrays(row, col, edge_value, num_rows, num_cols,
                            edge_multiple)
-    return CSRGraph(**arrays)
+    return _finalize(arrays, tiling)
 
 
-def from_scipy(mat, edge_multiple: int = 512) -> CSRGraph:
+def from_scipy(mat, edge_multiple: int = 512,
+               tiling: Optional[tuple[int, int, int]] = None):
     """Build from any scipy.sparse matrix (e.g. loaded from a .mtx file,
     the autotuner input format of the reference, ``README.md:147-168``)."""
     coo = mat.tocoo()
@@ -263,4 +280,13 @@ def from_scipy(mat, edge_multiple: int = 512) -> CSRGraph:
         coo.row, coo.col, coo.data.astype(np.float32),
         int(coo.shape[0]), int(coo.shape[1]), edge_multiple,
     )
-    return CSRGraph(**arrays)
+    return _finalize(arrays, tiling)
+
+
+def _finalize(arrays: dict, tiling):
+    graph = CSRGraph(**_to_device(arrays))
+    if tiling is None:
+        return graph
+    from .tiling import build_tiling_from_numpy  # cycle-free deferred import
+    rb, ct, eb = tiling
+    return build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb)

@@ -1,0 +1,290 @@
+"""Tiled SpMM execution plans for the Pallas kernel.
+
+The Pallas kernel (``isplib_tpu.kernels.spmm_pallas``) consumes the graph
+as a flat list of fixed-size *edge chunks*, each assigned to one
+(row-block, col-tile) pair:
+
+* rows are partitioned into blocks of ``rb`` (the output tile held in
+  VMEM and accumulated across consecutive chunks),
+* columns into tiles of ``ct`` (the x tile gathered from),
+* each (rb, ct) bucket's edges are split into chunks of ``eb`` edges,
+  padded with inert edges (value 0).
+
+Edges are sorted by (row-block, col-tile, row) so all chunks of one row
+block are contiguous in the grid — the Pallas output-revisiting pattern
+requires this.  Row blocks with no edges get one all-pad chunk so every
+output tile is written.
+
+This plan is the TPU-shaped analog of the reference's kernel launch
+configuration: where FusedMM's build-time autotuner bakes register/loop
+tiling into the binary (``/root/reference/configure``, ``csrc/fusedMM.h``)
+and the CUDA path template-instantiates block sizes
+(``/root/reference/gpu/kernels/codegen.py``), here (rb, ct, eb) are
+runtime parameters searched by ``isplib_tpu.tune``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import CSRGraph
+
+__all__ = ["TiledPlan", "TiledGraph", "build_tiling", "base_graph"]
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+_LANE = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledPlan:
+    """Chunked edge list for one direction (forward or transpose).
+
+    ``edges`` packs (local_rows, local_cols, values) of each chunk into one
+    contiguous block so the kernel issues a single descriptor per chunk:
+    shape (nc, 3, eb // 128, 128) int32, where plane 0 = row - rb_id*rb,
+    plane 1 = col - ct_id*ct, plane 2 = float32 value bit-cast to int32.
+    Pad slots carry value 0 (inert under the sum semiring).
+    """
+
+    edges: jax.Array         # (nc, 3, eb//128, 128) int32 (packed)
+    rb_ids: jax.Array        # (nc,) int32 — row-block of each chunk
+    ct_ids: jax.Array        # (nc,) int32 — col-tile of each chunk
+    chunk_starts: jax.Array  # (nrb+1,) int32 — chunk range per row block
+    rb: int = dataclasses.field(metadata=dict(static=True))
+    ct: int = dataclasses.field(metadata=dict(static=True))
+    eb: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    # real edges / chunk slots, computed at build time (reading it back
+    # from the device arrays would stall on the TPU tunnel)
+    fill: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+
+    # Unpacked views (trace-time slices; used by the chunk-grid kernel and
+    # tests — XLA fuses them, no materialization outside the consumer).
+    @property
+    def local_rows(self) -> jax.Array:
+        return self.edges[:, 0].reshape(self.nc, self.eb)
+
+    @property
+    def local_cols(self) -> jax.Array:
+        return self.edges[:, 1].reshape(self.nc, self.eb)
+
+    @property
+    def vals(self) -> jax.Array:
+        import jax.lax
+        return jax.lax.bitcast_convert_type(
+            self.edges[:, 2], jnp.float32).reshape(self.nc, self.eb)
+
+    @property
+    def nrb(self) -> int:
+        return _cdiv(self.num_rows, self.rb)
+
+    @property
+    def r_padded(self) -> int:
+        return _cdiv(self.num_rows, self.rb) * self.rb
+
+    @property
+    def c_padded(self) -> int:
+        return _cdiv(self.num_cols, self.ct) * self.ct
+
+    @property
+    def fill_fraction(self) -> float:
+        """Real edges / chunk slots — the padding-waste diagnostic."""
+        return self.fill
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledGraph:
+    """A CSRGraph with attached Pallas execution plans.
+
+    ``fwd`` drives the forward SpMM; ``bwd`` is the plan of the transpose
+    graph (for grad_x = SpMM(Aᵀ, g)).  Layers and ``spmm()`` accept this
+    anywhere a CSRGraph is accepted.
+    """
+
+    graph: CSRGraph
+    fwd: TiledPlan
+    bwd: TiledPlan
+
+    # Mirror CSRGraph's static interface so call sites don't care.
+    @property
+    def num_rows(self) -> int:
+        return self.graph.num_rows
+
+    @property
+    def num_cols(self) -> int:
+        return self.graph.num_cols
+
+    @property
+    def nnz(self) -> int:
+        return self.graph.nnz
+
+    @property
+    def nnz_padded(self) -> int:
+        return self.graph.nnz_padded
+
+    @property
+    def shape(self):
+        return self.graph.shape
+
+
+def base_graph(g) -> CSRGraph:
+    return g.graph if isinstance(g, TiledGraph) else g
+
+
+def _build_plan_arrays(
+    row: np.ndarray, col: np.ndarray, val: np.ndarray,
+    num_rows: int, num_cols: int, rb: int, ct: int, eb: int,
+) -> TiledPlan:
+    assert eb % _LANE == 0, f"edge-chunk size eb={eb} must be a multiple of 128"
+    assert rb % 8 == 0 and ct % 8 == 0, "rb/ct must be sublane multiples"
+    nnz = row.shape[0]
+    nrb = _cdiv(num_rows, rb)
+    nct = _cdiv(num_cols, ct)
+
+    if nnz:
+        rbid = row // rb
+        ctid = col // ct
+        order = np.lexsort((row, ctid, rbid))
+        row, col, val = row[order], col[order], val[order]
+        rbid, ctid = rbid[order], ctid[order]
+
+        bucket = rbid.astype(np.int64) * nct + ctid
+        new_bucket = np.empty(nnz, bool)
+        new_bucket[0] = True
+        np.not_equal(bucket[1:], bucket[:-1], out=new_bucket[1:])
+        bucket_ord = np.cumsum(new_bucket) - 1            # dense bucket rank
+        bucket_start = np.flatnonzero(new_bucket)         # first edge index
+        pos = np.arange(nnz, dtype=np.int64) - bucket_start[bucket_ord]
+        chunk_in_bucket = pos // eb
+        new_chunk = new_bucket.copy()
+        np.logical_or(new_chunk[1:],
+                      chunk_in_bucket[1:] != chunk_in_bucket[:-1],
+                      out=new_chunk[1:])
+        chunk_id = np.cumsum(new_chunk) - 1
+        nc_real = int(chunk_id[-1]) + 1
+        slot = (pos % eb).astype(np.int64)
+
+        present = np.unique(rbid)
+    else:
+        nc_real = 0
+        present = np.empty(0, np.int64)
+
+    missing = np.setdiff1d(np.arange(nrb, dtype=np.int64), present)
+    nc = nc_real + len(missing)
+
+    local_rows = np.zeros((nc, eb), np.int32)
+    local_cols = np.zeros((nc, eb), np.int32)
+    vals = np.zeros((nc, eb), np.float32)
+    rb_ids = np.zeros(nc, np.int32)
+    ct_ids = np.zeros(nc, np.int32)
+
+    if nnz:
+        local_rows[chunk_id, slot] = (row - rbid * rb).astype(np.int32)
+        local_cols[chunk_id, slot] = (col - ctid * ct).astype(np.int32)
+        vals[chunk_id, slot] = val
+        first_edge = np.flatnonzero(new_chunk)
+        rb_ids[:nc_real] = rbid[first_edge]
+        ct_ids[:nc_real] = ctid[first_edge]
+    rb_ids[nc_real:] = missing  # all-pad chunks: zero-init their out tiles
+    ct_ids[nc_real:] = 0
+
+    # Per-row-block chunk ranges for the row-block-grid kernel.  Chunks are
+    # sorted by rb except the trailing empty-rb chunks; re-sort so ranges
+    # are contiguous, then build the range table by counting.
+    chunk_counts = np.bincount(rb_ids, minlength=nrb)
+    chunk_starts = np.zeros(nrb + 1, np.int32)
+    chunk_starts[1:] = np.cumsum(chunk_counts)
+    order2 = np.argsort(rb_ids, kind="stable")
+    local_rows = local_rows[order2]
+    local_cols = local_cols[order2]
+    vals = vals[order2]
+    rb_ids = rb_ids[order2]
+    ct_ids = ct_ids[order2]
+
+    sub = eb // _LANE
+    edges = np.empty((nc, 3, sub, _LANE), np.int32)
+    edges[:, 0] = local_rows.reshape(nc, sub, _LANE)
+    edges[:, 1] = local_cols.reshape(nc, sub, _LANE)
+    edges[:, 2] = vals.view(np.int32).reshape(nc, sub, _LANE)
+
+    return TiledPlan(
+        edges=jnp.asarray(edges),
+        rb_ids=jnp.asarray(rb_ids),
+        ct_ids=jnp.asarray(ct_ids),
+        chunk_starts=jnp.asarray(chunk_starts),
+        rb=rb, ct=ct, eb=eb, nc=nc,
+        num_rows=num_rows, num_cols=num_cols,
+        fill=float(nnz) / max(nc * eb, 1),
+    )
+
+
+def build_tiling_from_numpy(
+    graph: CSRGraph,
+    arrays: dict,
+    rb: int = 256,
+    ct: int = 512,
+    eb: int = 512,
+    build_backward: bool = True,
+) -> TiledGraph:
+    """Attach Pallas plans using host-side numpy graph arrays.
+
+    ``arrays`` is the numpy dict from ``graph._build_arrays`` (padded COO +
+    CSC forms).  This is the fast path: no device→host readback (which is
+    catastrophically slow through this environment's TPU tunnel).
+    """
+    nnz = graph.nnz
+    row = arrays["row"][:nnz].astype(np.int64)
+    col = arrays["col"][:nnz].astype(np.int64)
+    val = arrays["value"][:nnz].astype(np.float32)
+
+    fwd = _build_plan_arrays(row, col, val, graph.num_rows, graph.num_cols,
+                             rb, ct, eb)
+    if build_backward:
+        trow = arrays["csc_row"][:nnz].astype(np.int64)
+        tcol = arrays["csc_col"][:nnz].astype(np.int64)
+        tval = arrays["csc_value"][:nnz].astype(np.float32)
+        bwd = _build_plan_arrays(trow, tcol, tval, graph.num_cols,
+                                 graph.num_rows, rb, ct, eb)
+    else:
+        bwd = fwd  # placeholder; backward falls back to XLA if unused
+    return TiledGraph(graph=graph, fwd=fwd, bwd=bwd)
+
+
+def build_tiling(
+    graph: CSRGraph,
+    rb: int = 256,
+    ct: int = 512,
+    eb: int = 512,
+    build_backward: bool = True,
+) -> TiledGraph:
+    """Attach Pallas execution plans to an existing device graph.
+
+    NOTE: pulls the edge arrays back to host — fine on CPU, slow through
+    a TPU tunnel.  Prefer ``from_edge_index(..., tiling=(rb, ct, eb))``,
+    which builds plans from the host arrays before upload.
+    """
+    nnz_padded = graph.nnz_padded
+    arrays = dict(
+        row=np.asarray(graph.row),
+        col=np.asarray(graph.col),
+        value=np.asarray(graph.value),
+        csc_row=np.asarray(graph.csc_row),
+        csc_col=np.asarray(graph.csc_col),
+        csc_value=np.asarray(graph.csc_value),
+    )
+    del nnz_padded
+    return build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
+                                   build_backward=build_backward)

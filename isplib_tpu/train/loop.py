@@ -139,8 +139,14 @@ def train_node_classifier(
     batch_stats = variables.get("batch_stats")
     opt_state = optimizer.init(params)
 
+    # Timing note: on tunneled-TPU environments block_until_ready returns
+    # before device completion, so per-epoch walls are submission times;
+    # the trustworthy number is the whole-loop wall with one readback
+    # drain at the end (device executes the queue serially).
     epoch_times = []
     train_acc = 0.0
+    lval = None
+    t_loop = time.perf_counter()
     for _ in range(epochs):
         rng, drop_rng = jax.random.split(rng)
         t0 = time.perf_counter()
@@ -148,10 +154,15 @@ def train_node_classifier(
             params, batch_stats, opt_state, x, y, train_mask, drop_rng)
         jax.block_until_ready(params)
         epoch_times.append(time.perf_counter() - t0)
-        train_acc = float(acc)
-        if verbose:
-            print(f"epoch time {epoch_times[-1]:.4f}s loss {float(lval):.4f}"
-                  f" acc {train_acc:.4f}")
+    final_loss = float(lval)  # drains the queue
+    total_wall = time.perf_counter() - t_loop
+    train_acc = float(acc)
+    if abs(sum(epoch_times) - total_wall) > 0.25 * total_wall:
+        # async submission detected — redistribute the true wall clock
+        epoch_times = [total_wall / epochs] * epochs
+    if verbose:
+        print(f"avg epoch {total_wall / epochs:.4f}s "
+              f"loss {final_loss:.4f} acc {train_acc:.4f}")
 
     # Test: eval-mode forward (gcn-sparse.py:98-106)
     variables = {"params": params}
@@ -159,9 +170,11 @@ def train_node_classifier(
         variables["batch_stats"] = batch_stats
     eval_fn = jax.jit(
         lambda v, x_: model.apply(v, graph, x_, training=False))
-    logits = jax.block_until_ready(eval_fn(variables, x))  # compile
+    logits = eval_fn(variables, x)
+    _ = float(jnp.sum(logits))  # compile + drain
     t0 = time.perf_counter()
-    logits = jax.block_until_ready(eval_fn(variables, x))
+    logits = eval_fn(variables, x)
+    _ = float(jnp.sum(logits))  # true completion
     test_time = time.perf_counter() - t0
     test_acc = float(_masked_acc(logits, y, test_mask))
 
