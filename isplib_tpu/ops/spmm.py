@@ -173,6 +173,12 @@ def spmm(
       reduce: one of sum | mean | max | min.
       backend: xla | pallas | auto (None → process default).
     """
+    from ..dist.partition import ShardedGraph
+    if isinstance(graph, ShardedGraph):
+        # Sharded graphs run through plain JAX AD: the halo all_to_all and
+        # local gather both have transposes, so no custom_vjp is needed.
+        from ..dist.spmm_dist import spmm_sharded
+        return spmm_sharded(graph, x, reduce=reduce)
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
         backend = _choose_backend(graph, x)

@@ -1,0 +1,120 @@
+"""Multi-device SpMM: 8-virtual-device CPU mesh vs single-device oracle.
+
+The reference cannot check us here — it has no distributed path at all
+(/root/reference/tests/dist is single-process; SURVEY.md §2).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from isplib_tpu import from_edge_index, spmm
+from isplib_tpu.dist import partition_rows, spmm_sharded
+
+
+def make_coo(rng, n=500, nnz=4000):
+    src = rng.integers(0, n, nnz)
+    dst = rng.integers(0, n, nnz)
+    pairs = np.unique(np.stack([dst, src]), axis=1)
+    dst, src = pairs[0], pairs[1]
+    vals = rng.normal(size=dst.shape[0]).astype(np.float32)
+    return dst, src, vals, n
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return Mesh(np.asarray(jax.devices()[:8]), ("data",))
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min"])
+def test_sharded_vs_single(rng, mesh, reduce):
+    row, col, vals, n = make_coo(rng)
+    g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
+                        edge_multiple=64)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    want = spmm(g, x, reduce=reduce, backend="xla")
+    got = spmm_sharded(sg, x, reduce=reduce, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_grad(rng, mesh):
+    row, col, vals, n = make_coo(rng, n=320, nnz=2000)
+    g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
+                        edge_multiple=64)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+    def loss_sharded(x_):
+        return jnp.sum(spmm_sharded(sg, x_, mesh=mesh) * probe)
+
+    def loss_single(x_):
+        return jnp.sum(spmm(g, x_, backend="xla") * probe)
+
+    got = jax.grad(loss_sharded)(x)
+    want = jax.grad(loss_single)(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_jit_and_shapes(rng, mesh):
+    row, col, vals, n = make_coo(rng, n=200, nnz=1000)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    f = jax.jit(lambda x_: spmm_sharded(sg, x_, mesh=mesh))
+    out = f(x)
+    assert out.shape == (n, 8)
+    # second call: no retrace errors, stable values
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(out))
+
+
+def test_halo_is_small(rng, mesh):
+    """Halo size must track boundary nodes, not the whole graph."""
+    # ring graph: each shard only needs 1-2 remote nodes
+    n = 512
+    src = np.arange(n)
+    dst = (src + 1) % n
+    sg = partition_rows(dst, src, None, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=8)
+    assert sg.halo <= 8  # one boundary node per pair, padded to 8
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    got = spmm_sharded(sg, x, mesh=mesh)
+    want = jnp.asarray(np.asarray(x)[(np.arange(n) - 1) % n])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_gcn_learns(rng, mesh):
+    """End-to-end: 2-layer GCN trained entirely through the sharded SpMM
+    path reaches the same quality as single-device training."""
+    import dataclasses
+    from isplib_tpu.data import sbm_dataset
+    from isplib_tpu.nn import GCN
+    from isplib_tpu.nn.transforms import gcn_norm
+    from isplib_tpu.dist.spmm_dist import set_mesh
+    from isplib_tpu.train import train_node_classifier
+
+    ds = sbm_dataset(num_nodes=400, num_classes=4, num_features=16,
+                     avg_degree=8.0, homophily=0.9, noise=2.0, seed=1)
+    g = gcn_norm(ds.graph, edge_multiple=64)
+    row = np.asarray(g.row)[: g.nnz]
+    col = np.asarray(g.col)[: g.nnz]
+    val = np.asarray(g.value)[: g.nnz]
+    from isplib_tpu.dist import partition_rows
+    sg = partition_rows(row, col, val, 400, num_shards=8, edge_multiple=64,
+                        halo_multiple=16)
+    set_mesh(mesh)
+    try:
+        ds_sharded = dataclasses.replace(ds, graph=sg)
+        model = GCN(hidden=16, num_classes=4, dropout_rate=0.0)
+        res = train_node_classifier(model, ds_sharded, epochs=30)
+        assert res.test_acc > 0.7, f"sharded GCN failed: {res.test_acc}"
+    finally:
+        set_mesh(None)
