@@ -25,6 +25,8 @@ import time
 
 import numpy as np
 
+from isplib_tpu.utils.timing import chain_time
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -104,33 +106,6 @@ def _cached_graph(name: str, scale: float, edge_multiple: int):
             aux["test_mask"])
 
 
-def chain_time(f, x0, iters: int) -> float:
-    """Seconds per call, measured by CHAINING calls (output feeds input)
-    and draining the device queue with one scalar readback.
-
-    Rationale: on this environment's tunneled TPU, ``block_until_ready``
-    returns before device execution completes and per-call readback has
-    ~0.5 s latency — per-call timing is pure noise.  Chained submission +
-    single drain measures true device throughput (device executes the
-    queue serially).
-    """
-    import jax.numpy as jnp
-
-    o = f(x0)
-    _ = float(jnp.sum(o))  # compile + drain
-    t0 = time.perf_counter()
-    o = f(x0)
-    _ = float(jnp.sum(o))
-    lat1 = time.perf_counter() - t0  # single-call incl. readback latency
-    t0 = time.perf_counter()
-    o = x0
-    for _ in range(iters):
-        o = f(o)
-    _ = float(jnp.sum(o))
-    total = time.perf_counter() - t0
-    return max((total - lat1) / max(iters - 1, 1), 1e-9)
-
-
 def bench_spmm(graph, k: int, iters: int, backend: str, reduce: str = "sum",
                with_grad: bool = False) -> float:
     """Seconds per SpMM call (chained measurement)."""
@@ -189,6 +164,8 @@ def main():
     ap.add_argument("--rb", type=int, default=256)
     ap.add_argument("--ct", type=int, default=512)
     ap.add_argument("--eb", type=int, default=512)
+    ap.add_argument("--tune", action="store_true",
+                    help="autotune (rb, ct, eb, backend) before benching")
     args = ap.parse_args()
 
     import jax
@@ -198,7 +175,12 @@ def main():
         args.dataset, args.scale, args.edge_multiple)
     log(f"graph: {graph.shape}, nnz={graph.nnz}")
 
-    if args.backend in ("pallas", "auto"):
+    if args.tune:
+        from isplib_tpu.tune.autotune import tune_spmm
+        best, tiled = tune_spmm(graph, np_arrays, k=args.k)
+        if tiled is not None:
+            graph = tiled
+    elif args.backend in ("pallas", "auto"):
         from isplib_tpu.sparse.tiling import build_tiling_from_numpy
         t0 = time.time()
         graph = build_tiling_from_numpy(graph, np_arrays, rb=args.rb,

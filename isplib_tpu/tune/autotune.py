@@ -70,6 +70,88 @@ def lookup(key: str) -> dict[str, Any] | None:
     return _load_cache().get(key)
 
 
+DEFAULT_CONFIGS = [
+    # (rb, ct, eb) — multiples of 128, spanning the MXU-work vs
+    # chunk-padding tradeoff (analog of the reference's K sweep
+    # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22)
+    (128, 256, 256),
+    (256, 512, 512),
+    (256, 1024, 512),
+    (512, 512, 512),
+    (512, 1024, 1024),
+    (1024, 2048, 1024),
+]
+
+
+def tune_spmm(
+    graph,
+    arrays: dict,
+    k: int = 32,
+    configs=None,
+    iters: int = 15,
+    include_xla: bool = True,
+    verbose: bool = True,
+):
+    """Measure SpMM configurations on the attached device and persist the
+    winner, keyed by graph signature.
+
+    ``graph`` is the device CSRGraph; ``arrays`` its host-numpy dict (plan
+    building must not read back through the device).  Returns
+    (best_entry, tiled_graph_or_None).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.spmm import spmm
+    from ..sparse.tiling import build_tiling_from_numpy
+    from ..utils.timing import chain_time
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(graph.num_cols, k)).astype(np.float32))
+    key = graph_signature(graph, x)
+    results = []
+
+    if include_xla:
+        f = jax.jit(lambda x_: spmm(graph, x_, backend="xla") * 1e-3)
+        dt = chain_time(f, x, iters)
+        results.append(dict(backend="xla", seconds=dt,
+                            edges_per_s=graph.nnz / dt))
+        if verbose:
+            print(f"[tune] xla: {dt * 1e3:.2f} ms "
+                  f"({graph.nnz / dt / 1e9:.3f} Ge/s)")
+
+    best_tiled = None
+    for rb, ct, eb in (configs or DEFAULT_CONFIGS):
+        try:
+            tg = build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
+                                         build_backward=False)
+            f = jax.jit(lambda x_, tg_=tg: spmm(tg_, x_,
+                                                backend="pallas") * 1e-3)
+            dt = chain_time(f, x, iters)
+            entry = dict(backend="pallas", rb=rb, ct=ct, eb=eb, seconds=dt,
+                         edges_per_s=graph.nnz / dt, fill=tg.fwd.fill)
+            results.append(entry)
+            if verbose:
+                print(f"[tune] pallas rb={rb} ct={ct} eb={eb} "
+                      f"fill={tg.fwd.fill:.2f}: {dt * 1e3:.2f} ms "
+                      f"({graph.nnz / dt / 1e9:.3f} Ge/s)")
+        except Exception as ex:  # config may exceed VMEM etc.
+            if verbose:
+                print(f"[tune] pallas rb={rb} ct={ct} eb={eb} failed: "
+                      f"{str(ex)[:120]}")
+
+    best = min(results, key=lambda r: r["seconds"])
+    record(key, best)
+    if best["backend"] == "pallas":
+        best_tiled = build_tiling_from_numpy(
+            graph, arrays, rb=best["rb"], ct=best["ct"], eb=best["eb"])
+    if verbose:
+        print(f"[tune] best: {best}")
+    return best, best_tiled
+
+
 def lookup_backend(graph, x) -> str:
     """Backend decision for ``spmm(..., backend='auto')``.
 

@@ -1,0 +1,46 @@
+"""Device timing utilities.
+
+Replaces the reference's ad-hoc std::chrono / wall-clock harnesses
+(``/root/reference/csrc/fusedmm.cpp:52-53``, ``tests/cpu/gcn-sparse.py:83-93``)
+with a methodology that is correct on asynchronous/tunneled TPU runtimes:
+``jax.block_until_ready`` can return before device execution completes on
+tunneled PJRT backends (measured in this environment), and a device→host
+readback costs ~0.5 s of latency — so per-call walls are noise.  We chain
+calls (output feeds input) and drain the serial device queue once.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax.numpy as jnp
+
+__all__ = ["chain_time", "drain"]
+
+
+def drain(x) -> float:
+    """Force completion of everything queued before x (device executes
+    serially); returns a scalar readback of x."""
+    return float(jnp.sum(x))
+
+
+def chain_time(f: Callable, x0, iters: int = 20) -> float:
+    """Seconds per call of ``f`` (whose output must feed its input).
+
+    Subtracts single-call + readback latency measured separately, so the
+    result reflects steady-state device throughput.
+    """
+    o = f(x0)
+    drain(o)  # compile + warm
+    t0 = time.perf_counter()
+    o = f(x0)
+    drain(o)
+    lat1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    o = x0
+    for _ in range(iters):
+        o = f(o)
+    drain(o)
+    total = time.perf_counter() - t0
+    return max((total - lat1) / max(iters - 1, 1), 1e-9)

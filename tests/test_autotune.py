@@ -1,0 +1,52 @@
+"""Autotuner mechanism tests (CPU: timing is meaningless here, but the
+sweep, cache persistence, and dispatch must work)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from isplib_tpu import from_edge_index, spmm
+from isplib_tpu.tune import autotune
+
+
+@pytest.fixture()
+def tmp_cache(tmp_path, monkeypatch):
+    path = str(tmp_path / "tune.json")
+    monkeypatch.setattr(autotune, "_CACHE_PATH", path)
+    monkeypatch.setattr(autotune, "_memory_cache", None)
+    return path
+
+
+def small_graph(rng):
+    src = rng.integers(0, 200, 1500)
+    dst = rng.integers(0, 200, 1500)
+    return from_edge_index(np.stack([src, dst]), num_nodes=200,
+                           edge_multiple=128)
+
+
+def test_tune_records_and_dispatches(rng, tmp_cache):
+    from isplib_tpu.sparse.graph import _build_arrays
+    src = rng.integers(0, 200, 1500)
+    dst = rng.integers(0, 200, 1500)
+    arrays = _build_arrays(dst, src, None, 200, 200, 128)
+    g = small_graph(rng)
+    # tiny config list to keep CPU time sane
+    best, tiled = autotune.tune_spmm(
+        g, arrays, k=8, configs=[(128, 128, 128)], iters=2, verbose=False)
+    assert best["backend"] in ("xla", "pallas")
+    assert os.path.exists(tmp_cache)
+    # the persisted decision is consulted by backend='auto'
+    x = jnp.asarray(rng.normal(size=(200, 8)).astype(np.float32))
+    key = autotune.graph_signature(g, x)
+    assert autotune.lookup(key) == best
+    out = spmm(g, x)  # auto — must not error regardless of decision
+    assert out.shape == (200, 8)
+
+
+def test_cache_roundtrip(tmp_cache):
+    autotune.record("k1", {"backend": "pallas", "rb": 128})
+    autotune._memory_cache = None  # force re-read from disk
+    assert autotune.lookup("k1") == {"backend": "pallas", "rb": 128}
+    assert autotune.lookup("nope") is None
