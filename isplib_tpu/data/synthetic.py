@@ -58,6 +58,13 @@ def rmat_edges(
     Returns (2, E) int64 [src; dst] with self-loops removed and duplicates
     allowed (like real social graphs; callers may dedupe).
     """
+    from .. import native
+    if native.available():
+        src, dst = native.rmat(num_edges, num_nodes, seed, a, b, c)
+        keep = src != dst
+        return np.stack([src[keep].astype(np.int64),
+                         dst[keep].astype(np.int64)])
+
     rng = np.random.default_rng(seed)
     scale = int(np.ceil(np.log2(max(num_nodes, 2))))
     n = num_edges

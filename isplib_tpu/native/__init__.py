@@ -1,0 +1,143 @@
+"""ctypes bindings for the native graph-preprocessing library.
+
+The C++/OpenMP library (``native/graphbuild.cpp``) provides linear-time
+CSR sorting, Pallas tiling-plan construction, and R-MAT generation — the
+host-side native layer of the framework (the device compute layer is
+Pallas).  Everything degrades gracefully to the numpy implementations
+when the shared object hasn't been built; build it with:
+
+    python -m isplib_tpu.native.build
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["available", "sort_csr", "plan_chunks", "rmat", "lib_path"]
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def lib_path() -> str:
+    env = os.environ.get("ISPLIB_NATIVE_LIB")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "native", "libisplib_graph.so")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = lib_path()
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    lib.isplib_sort_csr.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        i32p, i64p, i32p]
+    lib.isplib_plan_count.restype = ctypes.c_int64
+    lib.isplib_plan_count.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, i64p]
+    lib.isplib_plan_fill.argtypes = [
+        i32p, i32p, f32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        i64p, i64p, ctypes.c_int64, i32p, i32p]
+    lib.isplib_rmat.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double, i32p, i32p]
+    lib.isplib_version.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def sort_csr(row: np.ndarray, col: np.ndarray, num_rows: int,
+             num_cols: int) -> tuple[np.ndarray, np.ndarray]:
+    """Stable (row, col) sort.  Returns (order int32, rowptr int64)."""
+    lib = _load()
+    assert lib is not None
+    nnz = int(row.shape[0])
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    order = np.empty(nnz, np.int32)
+    rowptr = np.empty(num_rows + 1, np.int64)
+    scratch = np.empty(nnz, np.int32)
+    lib.isplib_sort_csr(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        nnz, num_rows, num_cols,
+        _ptr(order, ctypes.c_int32), _ptr(rowptr, ctypes.c_int64),
+        _ptr(scratch, ctypes.c_int32))
+    return order, rowptr
+
+
+def plan_chunks(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                num_rows: int, num_cols: int,
+                rb: int, ct: int, eb: int):
+    """Build packed tiling-plan arrays from CSR-sorted COO.
+
+    Returns (edges_packed (nc,3,eb) int32, rb_ids, ct_ids, chunk_starts).
+    """
+    lib = _load()
+    assert lib is not None
+    nnz = int(row.shape[0])
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    nrb = -(-num_rows // rb)
+    chunk_of = np.empty(nnz, np.int64)
+    rank = np.empty(nnz, np.int64)
+    chunk_starts = np.empty(nrb + 1, np.int64)
+    nc = lib.isplib_plan_count(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32), nnz,
+        num_rows, num_cols, rb, ct, eb,
+        _ptr(chunk_of, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
+        _ptr(chunk_starts, ctypes.c_int64))
+    edges = np.zeros((nc, 3, eb), np.int32)
+    ct_ids = np.zeros(nc, np.int32)
+    lib.isplib_plan_fill(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        _ptr(val, ctypes.c_float), nnz, rb, ct, eb,
+        _ptr(chunk_of, ctypes.c_int64), _ptr(rank, ctypes.c_int64), nc,
+        _ptr(edges, ctypes.c_int32), _ptr(ct_ids, ctypes.c_int32))
+    rb_ids = np.repeat(np.arange(nrb, dtype=np.int32),
+                       np.diff(chunk_starts))
+    return edges, rb_ids, ct_ids, chunk_starts.astype(np.int32)
+
+
+def rmat(num_edges: int, num_nodes: int, seed: int = 0,
+         a: float = 0.57, b: float = 0.19, c: float = 0.19):
+    """Parallel R-MAT generator.  Returns (src, dst) int32 (self-loops
+    included; callers filter)."""
+    lib = _load()
+    assert lib is not None
+    src = np.empty(num_edges, np.int32)
+    dst = np.empty(num_edges, np.int32)
+    lib.isplib_rmat(num_edges, num_nodes, seed, a, b, c,
+                    _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32))
+    return src, dst

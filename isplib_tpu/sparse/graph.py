@@ -173,8 +173,12 @@ def _build_arrays(
         value = np.asarray(value, dtype=np.float32)
 
     if sort and nnz:
-        # CSR order: sort by (row, col).  lexsort keys: last key is primary.
-        perm = np.lexsort((col, row))
+        # CSR order: sort by (row, col).
+        from .. import native
+        if native.available():
+            perm, _ = native.sort_csr(row, col, num_rows, num_cols)
+        else:
+            perm = np.lexsort((col, row))  # last key is primary
         row, col, value = row[perm], col[perm], value[perm]
 
     # Always ≥ 1 pad edge: code elsewhere uses edge id nnz_padded-1 as a
@@ -194,7 +198,13 @@ def _build_arrays(
 
     # CSC view: stable sort of the padded edge list by column keeps pad edges
     # (col == num_cols) at the end, so the pad block is shared by both views.
-    csc_perm = np.lexsort((row_p, col_p))
+    from .. import native
+    if native.available():
+        csc_perm, _ = native.sort_csr(col_p, row_p, num_cols + 1,
+                                      num_rows + 1)
+        csc_perm = csc_perm.astype(np.int64)
+    else:
+        csc_perm = np.lexsort((row_p, col_p))
     csc_row = row_p[csc_perm]
     csc_col = col_p[csc_perm]
     csc_val = val_p[csc_perm]

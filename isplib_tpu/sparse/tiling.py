@@ -151,6 +151,22 @@ def _build_plan_arrays(
     assert eb % _LANE == 0, f"edge-chunk size eb={eb} must be a multiple of 128"
     assert rb % 8 == 0 and ct % 8 == 0, "rb/ct must be sublane multiples"
     nnz = row.shape[0]
+
+    from .. import native
+    if native.available() and nnz:
+        # linear-time OpenMP path (input is already CSR-sorted)
+        edges, rb_ids, ct_ids, chunk_starts = native.plan_chunks(
+            row, col, val, num_rows, num_cols, rb, ct, eb)
+        nc = edges.shape[0]
+        return TiledPlan(
+            edges=jnp.asarray(edges.reshape(nc, 3, eb // _LANE, _LANE)),
+            rb_ids=jnp.asarray(rb_ids),
+            ct_ids=jnp.asarray(ct_ids),
+            chunk_starts=jnp.asarray(chunk_starts),
+            rb=rb, ct=ct, eb=eb, nc=nc,
+            num_rows=num_rows, num_cols=num_cols,
+            fill=float(nnz) / max(nc * eb, 1),
+        )
     nrb = _cdiv(num_rows, rb)
     nct = _cdiv(num_cols, ct)
 

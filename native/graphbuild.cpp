@@ -1,0 +1,207 @@
+// isplib_tpu native graph preprocessing library.
+//
+// Role: the host-side counterpart of the Pallas device kernels — linear-time
+// (counting-sort based, OpenMP-parallel) construction of CSR/CSC forms and
+// Pallas tiling plans, plus an R-MAT edge generator.  This replaces the
+// numpy lexsort pipeline (O(nnz log nnz) with large constants) the same way
+// the reference delegates its heavy lifting to native code (FusedMM C/OpenMP
+// core, /root/reference/csrc/fusedMM.h; build via /root/reference/configure).
+//
+// Plain C ABI (ctypes-consumable).  All buffers are caller-allocated; the
+// two-phase count/fill pattern avoids ownership transfer across the FFI.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC graphbuild.cpp
+//        -o libisplib_graph.so      (see isplib_tpu/native/build.py)
+
+#include <cstdint>
+#include <cstring>
+#include <atomic>
+#include <algorithm>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR construction: stable counting sort of COO edges by (row, col).
+//
+// out_order[e] = index into the input arrays of the e-th edge in CSR order.
+// out_rowptr has num_rows+1 entries.
+// ---------------------------------------------------------------------------
+void isplib_sort_csr(const int32_t* row, const int32_t* col, int64_t nnz,
+                     int32_t num_rows, int32_t num_cols,
+                     int32_t* out_order, int64_t* out_rowptr,
+                     int32_t* scratch /* nnz int32 */) {
+    // pass 1: stable counting sort by col -> scratch holds the permutation
+    {
+        int64_t* cnt = new int64_t[(int64_t)num_cols + 1]();
+        for (int64_t e = 0; e < nnz; ++e) cnt[col[e] + 1]++;
+        for (int64_t c = 0; c < num_cols; ++c) cnt[c + 1] += cnt[c];
+        for (int64_t e = 0; e < nnz; ++e) scratch[cnt[col[e]]++] = (int32_t)e;
+        delete[] cnt;
+    }
+    // pass 2: stable counting sort by row over the col-sorted order
+    {
+        int64_t* cnt = new int64_t[(int64_t)num_rows + 1]();
+        for (int64_t e = 0; e < nnz; ++e) cnt[row[e] + 1]++;
+        for (int64_t r = 0; r < num_rows; ++r) cnt[r + 1] += cnt[r];
+        std::memcpy(out_rowptr, cnt, sizeof(int64_t) * ((int64_t)num_rows + 1));
+        for (int64_t e = 0; e < nnz; ++e) {
+            int32_t src = scratch[e];
+            out_order[cnt[row[src]]++] = src;
+        }
+        delete[] cnt;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Tiling plan (phase 1): count chunks.
+//
+// Input edges must already be CSR-sorted (row-major).  Buckets are
+// (row/rb, col/ct) pairs; each bucket's edges split into ceil(n/eb) chunks;
+// row blocks with zero edges get one chunk.  Returns total chunk count.
+// bucket_of[e] (scratch, nnz) receives each edge's dense chunk id in the
+// final (row-block-major, col-tile, row) order, and edge_rank[e] its slot.
+// ---------------------------------------------------------------------------
+int64_t isplib_plan_count(const int32_t* row, const int32_t* col,
+                          int64_t nnz, int32_t num_rows, int32_t num_cols,
+                          int32_t rb, int32_t ct, int32_t eb,
+                          int64_t* chunk_of /* nnz */,
+                          int64_t* rank_in_chunk /* nnz */,
+                          int64_t* chunk_starts /* nrb+1 */) {
+    const int64_t nrb = (num_rows + rb - 1) / rb;
+    const int64_t nct = (num_cols + ct - 1) / ct;
+
+    int64_t total_chunks = 0;
+    // Per row block: counting sort of its edges by col tile (stable ->
+    // preserves row order within tile), then chunking.  Row blocks are
+    // independent -> OpenMP.  First find row-block edge ranges via rowptr
+    // semantics reconstructed by scanning (input is row-sorted).
+    int64_t* blk_start = new int64_t[nrb + 1];
+    {
+        // edges sorted by row -> block boundaries by binary search per block
+        blk_start[0] = 0;
+        int64_t e = 0;
+        for (int64_t b = 1; b <= nrb; ++b) {
+            int32_t bound = (int64_t)b * rb < num_rows ? (int32_t)(b * rb)
+                                                       : num_rows;
+            while (e < nnz && row[e] < bound) ++e;
+            blk_start[b] = e;
+        }
+    }
+
+    int64_t* blk_chunks = new int64_t[nrb];
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t b = 0; b < nrb; ++b) {
+        const int64_t lo = blk_start[b], hi = blk_start[b + 1];
+        const int64_t n = hi - lo;
+        if (n == 0) { blk_chunks[b] = 1; continue; }  // empty: 1 pad chunk
+        // count per-col-tile
+        int64_t* cnt = new int64_t[nct + 1]();
+        for (int64_t e = lo; e < hi; ++e) cnt[col[e] / ct + 1]++;
+        // chunks per tile; prefix for local chunk ids
+        int64_t chunks_here = 0;
+        int64_t* tile_chunk_base = new int64_t[nct];
+        for (int64_t t = 0; t < nct; ++t) {
+            tile_chunk_base[t] = chunks_here;
+            chunks_here += (cnt[t + 1] + eb - 1) / eb;
+        }
+        // prefix of counts for stable positioning within the block
+        for (int64_t t = 0; t < nct; ++t) cnt[t + 1] += cnt[t];
+        // assign each edge its (local chunk, slot)
+        int64_t* cursor = new int64_t[nct]();
+        for (int64_t e = lo; e < hi; ++e) {
+            const int64_t t = col[e] / ct;
+            const int64_t pos = cursor[t]++;     // rank within tile (row order)
+            chunk_of[e] = tile_chunk_base[t] + pos / eb;  // block-local id
+            rank_in_chunk[e] = pos % eb;
+        }
+        blk_chunks[b] = chunks_here;
+        delete[] cnt; delete[] tile_chunk_base; delete[] cursor;
+    }
+    chunk_starts[0] = 0;
+    for (int64_t b = 0; b < nrb; ++b)
+        chunk_starts[b + 1] = chunk_starts[b] + blk_chunks[b];
+    total_chunks = chunk_starts[nrb];
+    // globalize block-local chunk ids
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t b = 0; b < nrb; ++b) {
+        const int64_t lo = blk_start[b], hi = blk_start[b + 1];
+        const int64_t base = chunk_starts[b];
+        for (int64_t e = lo; e < hi; ++e) chunk_of[e] += base;
+    }
+    delete[] blk_start;
+    delete[] blk_chunks;
+    return total_chunks;
+}
+
+// ---------------------------------------------------------------------------
+// Tiling plan (phase 2): fill the packed chunk arrays.
+//
+// edges_packed layout: (nc, 3, eb) int32 — plane 0 local rows, plane 1
+// local cols, plane 2 float32 values bit-cast.  Caller zero-fills
+// beforehand (pad slots must be 0 = inert value).
+// ---------------------------------------------------------------------------
+// rb_ids are NOT filled here: every chunk in block b's chunk_starts range
+// has rb_id == b by construction, so Python derives them as
+// np.repeat(arange(nrb), diff(chunk_starts)).
+void isplib_plan_fill(const int32_t* row, const int32_t* col,
+                      const float* val, int64_t nnz,
+                      int32_t rb, int32_t ct, int32_t eb,
+                      const int64_t* chunk_of, const int64_t* rank_in_chunk,
+                      int64_t nc,
+                      int32_t* edges_packed /* nc*3*eb, pre-zeroed */,
+                      int32_t* ct_ids /* nc, pre-zeroed */) {
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int64_t c = chunk_of[e];
+        const int64_t s = rank_in_chunk[e];
+        int32_t* chunk = edges_packed + c * 3 * (int64_t)eb;
+        const int32_t rbid = row[e] / rb;
+        const int32_t ctid = col[e] / ct;
+        chunk[s] = row[e] - rbid * rb;
+        chunk[eb + s] = col[e] - ctid * ct;
+        std::memcpy(chunk + 2 * (int64_t)eb + s, &val[e], 4);
+        if (s == 0) ct_ids[c] = ctid;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// R-MAT edge generator (power-law graphs for benchmarks).
+// Deterministic per (seed, index) via SplitMix64 — parallel-safe.
+// ---------------------------------------------------------------------------
+static inline uint64_t splitmix64(uint64_t x) {
+    x += 0x9E3779B97f4A7C15ULL;
+    x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9ULL;
+    x = (x ^ (x >> 27)) * 0x94D049BB133111EBULL;
+    return x ^ (x >> 31);
+}
+
+void isplib_rmat(int64_t num_edges, int32_t num_nodes, uint64_t seed,
+                 double a, double b, double c,
+                 int32_t* out_src, int32_t* out_dst) {
+    int scale = 1;
+    while ((1LL << scale) < num_nodes) ++scale;
+    const double ab = a + b, abc = a + b + c;
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < num_edges; ++e) {
+        uint64_t state = splitmix64(seed ^ (uint64_t)e * 0x5851F42D4C957F2DULL);
+        int64_t src = 0, dst = 0;
+        for (int s = 0; s < scale; ++s) {
+            state = splitmix64(state);
+            const double r = (double)(state >> 11) * (1.0 / 9007199254740992.0);
+            const int right = (r >= a && r < ab) || (r >= abc);
+            const int down = r >= ab;
+            src = src * 2 + down;
+            dst = dst * 2 + right;
+        }
+        out_src[e] = (int32_t)(src % num_nodes);
+        out_dst[e] = (int32_t)(dst % num_nodes);
+    }
+}
+
+int isplib_version() { return 1; }
+
+}  // extern "C"
