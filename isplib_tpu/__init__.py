@@ -11,6 +11,7 @@ adjacencies with halo exchange over ICI.
 from .sparse.graph import CSRGraph, from_edge_index, from_scipy
 from .sparse.tiling import TiledGraph, build_tiling
 from .ops.spmm import spmm, sddmm, set_default_backend
+from .ops.fused import fused_mm, fused_mm_edges
 from .ops.semiring import Reduce, FusedOp, VectorOp, ReduceOp, ScaleOp
 
 __version__ = "0.1.0"
@@ -23,6 +24,8 @@ __all__ = [
     "build_tiling",
     "spmm",
     "sddmm",
+    "fused_mm",
+    "fused_mm_edges",
     "set_default_backend",
     "Reduce",
     "FusedOp",

@@ -51,7 +51,8 @@ def _npz_path(name: str) -> str:
     return os.path.join(DATA_DIR, f"{name}.npz")
 
 
-def _load_npz(name: str, edge_multiple: int = 4096) -> NodeDataset:
+def _load_npz(name: str, edge_multiple: int = 4096,
+              tiling=None) -> NodeDataset:
     with np.load(_npz_path(name)) as z:
         edge_index = z["edge_index"]
         x = z["x"].astype(np.float32)
@@ -61,7 +62,7 @@ def _load_npz(name: str, edge_multiple: int = 4096) -> NodeDataset:
         test_mask = z["test_mask"].astype(bool)
     num_nodes = x.shape[0]
     graph = from_edge_index(edge_index, num_nodes=num_nodes,
-                            edge_multiple=edge_multiple)
+                            edge_multiple=edge_multiple, tiling=tiling)
     return NodeDataset(
         name=name, graph=graph, x=x, y=y,
         train_mask=train_mask, val_mask=val_mask, test_mask=test_mask,
@@ -88,27 +89,32 @@ def pad_features(ds: NodeDataset, multiple: int = 128) -> NodeDataset:
     return dataclasses.replace(ds, x=x)
 
 
-def _synthetic_standin(name: str, scale: float = 1.0) -> NodeDataset:
+def _synthetic_standin(name: str, scale: float = 1.0,
+                       tiling=None) -> NodeDataset:
     n, e, f, c = DATASET_STATS[name]
     n, e = int(n * scale), int(e * scale)
     return rmat_dataset(
         num_nodes=n, num_edges=e, num_features=f, num_classes=c,
         name=f"{name}-sim", seed=hash(name) % (2**31),
-        undirected=False,
+        undirected=False, tiling=tiling,
     )
 
 
 def load(name: str, allow_synthetic: bool = True,
-         scale: float = 1.0) -> NodeDataset:
+         scale: float = 1.0, tiling=None) -> NodeDataset:
     """Load one of the six reference datasets (or ``<name>-sim`` to force
-    the synthetic stand-in; ``scale`` shrinks stand-ins for smoke tests)."""
+    the synthetic stand-in; ``scale`` shrinks stand-ins for smoke tests).
+
+    ``tiling=(rb, ct, eb)`` attaches Pallas plans during construction —
+    always pass it here rather than calling build_tiling on the loaded
+    graph (which would read arrays back through the slow TPU tunnel)."""
     force_sim = name.endswith("-sim")
     base = name[:-4] if force_sim else name
     if base not in DATASET_STATS:
         raise KeyError(
             f"unknown dataset {name!r}; known: {sorted(DATASET_STATS)}")
     if not force_sim and os.path.exists(_npz_path(base)):
-        return _load_npz(base)
+        return _load_npz(base, tiling=tiling)
     if not (allow_synthetic or force_sim):
         raise FileNotFoundError(
             f"{_npz_path(base)} not found — export it with "
@@ -117,7 +123,7 @@ def load(name: str, allow_synthetic: bool = True,
     if not force_sim:
         print(f"[isplib_tpu.data] {base}: no exported .npz at "
               f"{_npz_path(base)} — using size-matched synthetic stand-in")
-    return _synthetic_standin(base, scale)
+    return _synthetic_standin(base, scale, tiling=tiling)
 
 
 loader_dict: dict[str, Callable[[], NodeDataset]] = {

@@ -1,0 +1,124 @@
+"""Generalized fused SDDMM+SpMM pipeline — full FusedMM semantics.
+
+The reference's native kernel implements a 5-stage per-edge pipeline
+selected by the ``imsg`` bitfield (``/root/reference/csrc/fusedMM.h:8-74``):
+
+    v_e = VOP(x[row_e], y[col_e])            per-edge vector
+    t_e = ROP(v_e)                           per-edge scalar (dot/norm/…)
+    s_e = SOP(t_e)                           scalar op (sigmoid etc. —
+                                             SOP_UDEF, fusedMM.h:45-52,133)
+    w_e = VSC(s_e, value_e, deg_row)         scale (×value / ÷degree)
+    z_r = AOP_e { w_e · m_e }                accumulate (sum/max/min)
+
+where the accumulated message ``m_e`` is the VOP vector (t-dist force
+model: z_i += s(‖x_i−y_j‖)·(x_i−y_j)) — or y[col] for plain SpMM.
+
+Here the pipeline is a typed :class:`~isplib_tpu.ops.semiring.FusedOp`
+evaluated with jax gather/segment primitives.  Differentiation is plain
+JAX AD — every stage (including a user SOP callable) is traced, so the
+thread-safety contract the reference imposes on UDEF functions
+(``fusedMM.h:127-129``) is vacuous here.
+
+``fused_mm_edges`` exposes the per-edge scalars before accumulation
+(generalized SDDMM).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..sparse.tiling import base_graph
+from .semiring import FusedOp, Reduce, ReduceOp, ScaleOp, VectorOp
+from . import xla_backend
+
+__all__ = ["fused_mm", "fused_mm_edges"]
+
+
+def _vop(op: VectorOp, xv: jax.Array, yv: jax.Array) -> jax.Array:
+    if op is VectorOp.COPY_RHS:
+        return yv
+    if op is VectorOp.COPY_LHS:
+        return xv
+    if op is VectorOp.ADD:
+        return xv + yv
+    if op is VectorOp.SUB:
+        return xv - yv
+    if op is VectorOp.MUL:
+        return xv * yv
+    if op is VectorOp.MAX:
+        return jnp.maximum(xv, yv)
+    if op is VectorOp.MIN:
+        return jnp.minimum(xv, yv)
+    raise ValueError(op)
+
+
+def _rop(op: ReduceOp, v: jax.Array) -> Optional[jax.Array]:
+    if op is ReduceOp.NOOP:
+        return None
+    if op is ReduceOp.DOT:
+        return jnp.sum(v, axis=-1)
+    if op is ReduceOp.NORM2:
+        return jnp.sum(v * v, axis=-1)
+    raise ValueError(op)
+
+
+def _edge_scalars(graph, x, y, op: FusedOp):
+    base = base_graph(graph)
+    row, col = base.row, base.col
+    xv = xla_backend.gather_rows(x, row)   # (E, K); pad rows → zero row
+    yv = xla_backend.gather_rows(y, col)
+    v = _vop(op.vop, xv, yv)               # (E, K)
+    t = _rop(op.rop, v)                    # (E,) or None
+    if op.sop is not None:
+        t = op.sop(t if t is not None else jnp.ones(v.shape[0], v.dtype))
+    s = t if t is not None else jnp.ones(v.shape[0], v.dtype)
+
+    if op.vsc is ScaleOp.MUL:
+        s = s * base.value
+    elif op.vsc is ScaleOp.MEAN:
+        deg_of_row = jnp.take(
+            jnp.concatenate([jnp.maximum(base.deg, 1.0),
+                             jnp.ones((1,), base.deg.dtype)]),
+            row, axis=0)
+        s = s * base.value / deg_of_row
+    return base, v, s
+
+
+def fused_mm_edges(graph, x: jax.Array, y: jax.Array,
+                   op: FusedOp) -> jax.Array:
+    """Per-edge scalars of the pipeline (CSR edge order, pads 0) —
+    generalized SDDMM."""
+    base, _, s = _edge_scalars(graph, x, y, op)
+    mask = jnp.arange(base.nnz_padded) < base.nnz
+    return jnp.where(mask, s, 0.0)
+
+
+def fused_mm(graph, x: jax.Array, y: jax.Array, op: FusedOp) -> jax.Array:
+    """Full pipeline: accumulate ``s_e · v_e`` into output rows.
+
+    x: (num_rows, K) destination-side features; y: (num_cols, K)
+    source-side features.  Returns (num_rows, K).
+    """
+    base, v, s = _edge_scalars(graph, x, y, op)
+    contrib = s[:, None].astype(v.dtype) * v
+    num_segments = base.num_rows + 1
+    if op.aop is Reduce.SUM:
+        out = jax.ops.segment_sum(contrib, base.row,
+                                  num_segments=num_segments,
+                                  indices_are_sorted=True)
+    elif op.aop is Reduce.MAX:
+        out = jax.ops.segment_max(contrib, base.row,
+                                  num_segments=num_segments,
+                                  indices_are_sorted=True)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    elif op.aop is Reduce.MIN:
+        out = jax.ops.segment_min(contrib, base.row,
+                                  num_segments=num_segments,
+                                  indices_are_sorted=True)
+        out = jnp.where(jnp.isfinite(out), out, 0.0)
+    else:
+        raise ValueError(op.aop)
+    return out[: base.num_rows]

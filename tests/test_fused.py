@@ -1,0 +1,94 @@
+"""Generalized FusedMM pipeline vs dense numpy formulations.
+
+Covers the reference's actual use cases beyond plain SpMM: sigmoid-scaled
+embeddings and the t-distribution force model
+(``/root/reference/csrc/fusedMM.h:45-52``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from isplib_tpu import FusedOp, Reduce, ReduceOp, ScaleOp, VectorOp, spmm
+from isplib_tpu.ops.fused import fused_mm, fused_mm_edges
+from isplib_tpu.sparse.graph import from_edge_index
+
+
+def make(rng, n=40, m=35, nnz=200, k=8):
+    src = rng.integers(0, m, nnz)
+    dst = rng.integers(0, n, nnz)
+    pairs = np.unique(np.stack([dst, src]), axis=1)
+    dst, src = pairs[0], pairs[1]
+    vals = rng.normal(size=dst.shape[0]).astype(np.float32)
+    g = from_edge_index(np.stack([src, dst]), num_nodes=n, num_src_nodes=m,
+                        edge_value=vals, edge_multiple=64)
+    x = rng.normal(size=(n, k)).astype(np.float32)
+    y = rng.normal(size=(m, k)).astype(np.float32)
+    return g, x, y, dst, src, vals
+
+
+def test_spmm_special_case(rng):
+    """VOP_COPY_RHS | ROP_NOOP | SOP_COPY | VSC_MUL | AOP_ADD == spmm-sum
+    (the reference's own instantiation, csrc/fusedmm.cpp:184)."""
+    g, x, y, *_ = make(rng)
+    op = FusedOp.spmm("sum")
+    out = fused_mm(g, jnp.asarray(x), jnp.asarray(y), op)
+    want = spmm(g, jnp.asarray(y), reduce="sum", backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sigmoid_embedding_pipeline(rng):
+    """z_i += sigmoid(<x_i, y_j>) · y_j — the force-directed embedding
+    kernel FusedMM exists for (SOP_UDEF sigmoid)."""
+    g, x, y, row, col, vals = make(rng)
+    op = FusedOp(vop=VectorOp.MUL, rop=ReduceOp.DOT, sop=jax.nn.sigmoid,
+                 vsc=ScaleOp.NONE, aop=Reduce.SUM)
+    # NOTE: message accumulated is the VOP vector (x_i*y_j here)
+    out = np.asarray(fused_mm(g, jnp.asarray(x), jnp.asarray(y), op))
+    want = np.zeros_like(x)
+    for r, c in zip(row, col):
+        t = 1.0 / (1.0 + np.exp(-float(x[r] @ y[c])))
+        want[r] += t * (x[r] * y[c])
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_tdist_pipeline(rng):
+    """z_i += s(‖x_i − y_j‖²) · (x_i − y_j), s(t) = 1/(1+t)."""
+    g, x, y, row, col, vals = make(rng)
+    op = FusedOp(vop=VectorOp.SUB, rop=ReduceOp.NORM2,
+                 sop=lambda t: 1.0 / (1.0 + t),
+                 vsc=ScaleOp.NONE, aop=Reduce.SUM)
+    out = np.asarray(fused_mm(g, jnp.asarray(x), jnp.asarray(y), op))
+    want = np.zeros_like(x)
+    for r, c in zip(row, col):
+        d = x[r] - y[c]
+        want[r] += (1.0 / (1.0 + float(d @ d))) * d
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edges_sddmm(rng):
+    g, x, y, row, col, vals = make(rng)
+    op = FusedOp(vop=VectorOp.MUL, rop=ReduceOp.DOT, sop=None,
+                 vsc=ScaleOp.MUL, aop=Reduce.SUM)
+    out = np.asarray(fused_mm_edges(g, jnp.asarray(x), jnp.asarray(y), op))
+    grow = np.asarray(g.row)[: g.nnz]
+    gcol = np.asarray(g.col)[: g.nnz]
+    gval = np.asarray(g.value)[: g.nnz]
+    want = np.einsum("ek,ek->e", x[grow], y[gcol]) * gval
+    np.testing.assert_allclose(out[: g.nnz], want, rtol=1e-4, atol=1e-4)
+    assert (out[g.nnz:] == 0).all()
+
+
+def test_fused_is_differentiable(rng):
+    g, x, y, *_ = make(rng)
+    op = FusedOp(vop=VectorOp.SUB, rop=ReduceOp.NORM2,
+                 sop=lambda t: 1.0 / (1.0 + t),
+                 vsc=ScaleOp.NONE, aop=Reduce.SUM)
+
+    def loss(x_, y_):
+        return jnp.sum(fused_mm(g, x_, y_, op) ** 2)
+
+    gx, gy = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(y))
+    assert np.isfinite(np.asarray(gx)).all()
+    assert np.isfinite(np.asarray(gy)).all()
+    assert np.abs(np.asarray(gy)).max() > 0
