@@ -118,14 +118,18 @@ def bench_spmm(graph, k: int, iters: int, backend: str, reduce: str = "sum",
             size=(graph.num_cols, k)).astype(np.float32))
 
     # ×1e-3 keeps chained magnitudes bounded (sum-reduce amplifies by the
-    # average degree per iteration; bench graphs are square so shapes chain)
+    # average degree per iteration; bench graphs are square so shapes chain).
+    # graph is a jit ARGUMENT — closing over it would embed the tiling plan
+    # (hundreds of MB) as HLO constants and overflow the remote-compile
+    # request limit on tunneled TPU runtimes (observed HTTP 413).
     if with_grad:
-        f = jax.jit(jax.grad(
-            lambda x_: spmm(graph, x_, reduce=reduce,
-                            backend=backend).sum() * 1e-3))
+        jf = jax.jit(jax.grad(
+            lambda x_, g_: spmm(g_, x_, reduce=reduce,
+                                backend=backend).sum() * 1e-3))
     else:
-        f = jax.jit(lambda x_: spmm(graph, x_, reduce=reduce,
-                                    backend=backend) * 1e-3)
+        jf = jax.jit(lambda x_, g_: spmm(g_, x_, reduce=reduce,
+                                         backend=backend) * 1e-3)
+    f = lambda x_: jf(x_, graph)
     return chain_time(f, x, iters)
 
 

@@ -1,0 +1,204 @@
+"""Pallas TPU SpMM v2 — column-major streaming with VMEM-resident output.
+
+Fixes the two measured bottlenecks of the v1 row-block kernel (see
+:mod:`isplib_tpu.sparse.tiling_v2` for the ablation numbers):
+
+* **Gather** uses the VPU's native ``dynamic_gather`` (via
+  ``jnp.take_along_axis`` over 128-lane source groups) instead of a
+  materialized (ct, eb) one-hot matmul operand — ~3x fewer VPU ops at
+  K=32 and no MXU work on the gather side.
+* **Scatter** stays a one-hot matmul (the MXU is idle anyway), but the
+  one-hot is built by a single broadcast-compare against rows stored in
+  the (eb, 1) sublane layout — no concats or lane↔sublane relayouts.
+* **x traffic**: the (K, ct) x tile is a pipelined BlockSpec input,
+  fetched once per (superblock, col-tile) grid cell instead of once per
+  edge chunk (v1 re-fetched it ~600x).
+* **Output** lives in VMEM as a (nrb_s, K, rb) block revisited across
+  all col-tile steps of a superblock; per-chunk partials accumulate into
+  it by dynamic first-dim index, and row blocks with no edges are covered
+  by the step-0 zero fill (v1 burned all-pad chunks on them).
+
+Reference lineage: this plays the role of FusedMM's OpenMP CSR kernel
+(``/root/reference/csrc/fusedMM.h``, linked at ``setup.py:124-128``) —
+the parallelization axis is the (superblock × col-tile) grid plus MXU
+systolic parallelism instead of OpenMP threads × AVX lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.tiling_v2 import TiledPlanV2
+
+__all__ = ["spmm_tiled_v2"]
+
+_LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _gather_x(x, cols, k_pad: int, ct: int, eb: int):
+    """list of (k_pad, 128) groups = x[:, cols] via grouped dynamic_gather.
+
+    x: (k_pad, ct) f32; cols: (eb/128, 128) int32 in [0, ct).  Mosaic's
+    dynamic_gather is limited to a single source vreg along the gather
+    dim, so the gather decomposes into (eb/128 × ct/128) unit gathers
+    with a validity select chain (exactly one source group matches).
+    Lane groups are sublane slices of cols — lane-offset slicing is not
+    layout-normalizable in Mosaic.
+    """
+    outs = []
+    for eg in range(eb // _LANE):
+        cols_g = cols[eg]                                      # (128,)
+        idx = jnp.broadcast_to(cols_g[None, :], (k_pad, _LANE))
+        g = jnp.zeros((k_pad, _LANE), x.dtype)
+        for cg in range(ct // _LANE):
+            src = x[:, cg * _LANE:(cg + 1) * _LANE]            # (k_pad, 128)
+            local = idx - cg * _LANE
+            valid = (local >= 0) & (local < _LANE)
+            gi = jnp.take_along_axis(src, jnp.clip(local, 0, _LANE - 1),
+                                     axis=1)
+            g = jnp.where(valid, gi, g)
+        outs.append(g)
+    return outs
+
+
+def _spmm_v2_kernel(
+    # scalar prefetch
+    cell_starts_ref, rb_locals_ref,
+    # tensor inputs
+    edges_hbm, x_ref,
+    # output block (VMEM, revisited across col-tile steps)
+    out_ref,
+    # scratch
+    edges_buf, edge_sems,
+    *,
+    rb: int, ct: int, eb: int, nct: int, compute_dtype,
+):
+    s = pl.program_id(0)
+    c = pl.program_id(1)
+    cell = s * nct + c
+    start = cell_starts_ref[cell]
+    end = cell_starts_ref[cell + 1]
+    n_chunks = end - start
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    def edge_dma(slot, ci):
+        return pltpu.make_async_copy(edges_hbm.at[ci], edges_buf.at[slot],
+                                     edge_sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        edge_dma(0, start).start()
+
+    k_pad = x_ref.shape[0]
+    # Scatter one-hot is built TRANSPOSED — (rb, 128) with rb on sublanes,
+    # compared against the row lane vector — and contracted on dim 1 of
+    # both operands, so no lane↔sublane relayout is ever needed.
+    rb_iota_t = jax.lax.broadcasted_iota(jnp.int32, (rb, _LANE), 0)
+
+    def body(j, carry):
+        slot = jax.lax.rem(j, 2)
+        nslot = 1 - slot
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            edge_dma(nslot, start + j + 1).start()
+
+        edge_dma(slot, start + j).wait()
+
+        cols = edges_buf[slot, 0]                               # (sub, 128)
+        vals = pltpu.bitcast(edges_buf[slot, 1], jnp.float32)   # (sub, 128)
+        rows = edges_buf[slot, 2]                               # (sub, 128)
+        gathered = _gather_x(x_ref[...], cols, k_pad, ct, eb)
+
+        part = None
+        for eg in range(eb // _LANE):
+            vals_g = vals[eg][None, :]                          # (1, 128)
+            wg = (gathered[eg] * vals_g).astype(compute_dtype)  # (k_pad,128)
+            oh_t = (rb_iota_t == rows[eg][None, :]).astype(
+                compute_dtype)                                  # (rb, 128)
+            pg = jax.lax.dot_general(
+                wg, oh_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # (k_pad, rb)
+            part = pg if part is None else part + pg
+
+        rbl = rb_locals_ref[start + j]
+        out_ref[rbl] += part
+        return carry
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("compute_dtype", "interpret"))
+def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
+                  interpret: bool) -> jax.Array:
+    k = x.shape[1]
+    rb, ct, eb = plan.rb, plan.ct, plan.eb
+    nct, n_super, nrb_s = plan.nct, plan.n_super, plan.nrb_s
+    k_pad = _round_up(k, 32)
+    sub = eb // _LANE
+
+    xt = jnp.zeros((k_pad, plan.c_padded), x.dtype)
+    xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
+
+    kernel = functools.partial(
+        _spmm_v2_kernel, rb=rb, ct=ct, eb=eb, nct=nct,
+        compute_dtype=compute_dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_super, nct),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                  # edges
+            pl.BlockSpec((k_pad, ct), lambda s, c, cs, rbl: (0, c),
+                         memory_space=pltpu.VMEM),              # x tile
+        ],
+        out_specs=pl.BlockSpec(
+            (nrb_s, k_pad, rb), lambda s, c, cs, rbl: (s, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),          # edge planes
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    nc = plan.nc
+    flops = 2 * nc * eb * k_pad * rb
+    bytes_accessed = (nc * (3 * eb * 4)
+                      + n_super * nct * ct * k_pad * x.dtype.itemsize
+                      + plan.r_padded * k_pad * 4)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.nrb, k_pad, rb), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(plan.cell_starts, plan.rb_locals, plan.edges, xt)
+
+    return (out.transpose(0, 2, 1)
+            .reshape(plan.nrb * rb, k_pad)[: plan.num_rows, :k])
+
+
+def spmm_tiled_v2(plan: TiledPlanV2, x: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Sum-reduce SpMM over a v2 plan.  Same bf16 accuracy contract as
+    :func:`isplib_tpu.kernels.spmm_pallas.spmm_tiled`."""
+    return _spmm_v2_call(plan, x, compute_dtype, _interpret())

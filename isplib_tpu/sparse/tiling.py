@@ -254,26 +254,34 @@ def build_tiling_from_numpy(
     ct: int = 512,
     eb: int = 512,
     build_backward: bool = True,
+    version: int = 2,
 ) -> TiledGraph:
     """Attach Pallas plans using host-side numpy graph arrays.
 
     ``arrays`` is the numpy dict from ``graph._build_arrays`` (padded COO +
     CSC forms).  This is the fast path: no device→host readback (which is
     catastrophically slow through this environment's TPU tunnel).
+
+    ``version``: 2 (default) = column-major streaming plan
+    (:mod:`isplib_tpu.sparse.tiling_v2`); 1 = row-block-grid plan.
     """
     nnz = graph.nnz
     row = arrays["row"][:nnz].astype(np.int64)
     col = arrays["col"][:nnz].astype(np.int64)
     val = arrays["value"][:nnz].astype(np.float32)
 
-    fwd = _build_plan_arrays(row, col, val, graph.num_rows, graph.num_cols,
-                             rb, ct, eb)
+    if version == 2:
+        from .tiling_v2 import build_plan_v2_arrays as build
+    else:
+        build = _build_plan_arrays
+
+    fwd = build(row, col, val, graph.num_rows, graph.num_cols, rb, ct, eb)
     if build_backward:
         trow = arrays["csc_row"][:nnz].astype(np.int64)
         tcol = arrays["csc_col"][:nnz].astype(np.int64)
         tval = arrays["csc_value"][:nnz].astype(np.float32)
-        bwd = _build_plan_arrays(trow, tcol, tval, graph.num_cols,
-                                 graph.num_rows, rb, ct, eb)
+        bwd = build(trow, tcol, tval, graph.num_cols, graph.num_rows,
+                    rb, ct, eb)
     else:
         bwd = fwd  # placeholder; backward falls back to XLA if unused
     return TiledGraph(graph=graph, fwd=fwd, bwd=bwd)
@@ -285,6 +293,7 @@ def build_tiling(
     ct: int = 512,
     eb: int = 512,
     build_backward: bool = True,
+    version: int = 2,
 ) -> TiledGraph:
     """Attach Pallas execution plans to an existing device graph.
 
@@ -303,4 +312,5 @@ def build_tiling(
     )
     del nnz_padded
     return build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
-                                   build_backward=build_backward)
+                                   build_backward=build_backward,
+                                   version=version)

@@ -1,0 +1,175 @@
+"""Column-major streaming SpMM plan (v2) — the measured successor to the
+row-block plan in :mod:`isplib_tpu.sparse.tiling`.
+
+Ablation on v5e (reddit-sim, K=32) showed the v1 kernel is bound by (a)
+VPU relayouts while building one-hot operands from (sub, 128)-packed edge
+indices and (b) re-DMA-ing each (K, ct) x column-tile for every chunk —
+~600x the ideal x traffic.  The v2 plan fixes both at the layout level:
+
+* Edges are grouped **column-tile-major within a row superblock**: grid =
+  (superblock, col-tile).  The x tile is a pipelined BlockSpec input that
+  is loaded once per grid cell instead of once per chunk, and the entire
+  superblock's output lives in VMEM as a revisited (nrb, K, rb) block
+  accumulated across all of its col-tile steps (zeroed at step 0, flushed
+  by Pallas when the superblock advances).
+* Per-chunk indices are stored in the layouts their consumers need:
+  local columns and values as **(1, eb) lane vectors** (gather side),
+  local rows as **(eb, 1) sublane vectors** (scatter one-hot build) —
+  broadcast-compares, no concats, no lane↔sublane transposes.
+* Row blocks that receive no edges need no all-pad chunks (the zero-init
+  covers them), so fill is strictly better than v1.
+
+The kernel consuming this plan is
+:func:`isplib_tpu.kernels.spmm_pallas_v2.spmm_tiled_v2`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import CSRGraph
+
+__all__ = ["TiledPlanV2", "build_plan_v2_arrays"]
+
+_LANE = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TiledPlanV2:
+    """Chunked edge list in (superblock, col-tile)-major order.
+
+    ``edges``: (nc, 3, eb/128, 128) int32 — plane 0 = col − ct_id·ct,
+    plane 1 = float32 value bit-cast, plane 2 = row − rb_id·rb, each
+    packed per 128-edge lane group.  Pad slots: col 0, value 0 (inert —
+    the gather result is multiplied by the value), row 0.  Lane groups
+    are sliced on the *sublane* dim in-kernel; all one-hots are built by
+    broadcast-compares against these lane vectors (lane-offset slices and
+    (eb, 1) shapes are not layout/DMA-normalizable in Mosaic).
+    ``rb_locals``: (nc,) int32 — row-block index *within the superblock*.
+    ``cell_starts``: (n_super·nct + 1,) int32 — chunk range per grid cell.
+    """
+
+    edges: jax.Array
+    rb_locals: jax.Array
+    cell_starts: jax.Array
+    rb: int = dataclasses.field(metadata=dict(static=True))
+    ct: int = dataclasses.field(metadata=dict(static=True))
+    eb: int = dataclasses.field(metadata=dict(static=True))
+    nc: int = dataclasses.field(metadata=dict(static=True))
+    nrb_s: int = dataclasses.field(metadata=dict(static=True))  # row blocks / superblock
+    n_super: int = dataclasses.field(metadata=dict(static=True))
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(default=1.0, metadata=dict(static=True))
+
+    @property
+    def nct(self) -> int:
+        return _cdiv(self.num_cols, self.ct)
+
+    @property
+    def nrb(self) -> int:
+        return self.n_super * self.nrb_s
+
+    @property
+    def r_padded(self) -> int:
+        return self.nrb * self.rb
+
+    @property
+    def c_padded(self) -> int:
+        return self.nct * self.ct
+
+    @property
+    def fill_fraction(self) -> float:
+        return self.fill
+
+
+def build_plan_v2_arrays(
+    row: np.ndarray, col: np.ndarray, val: np.ndarray,
+    num_rows: int, num_cols: int,
+    rb: int = 256, ct: int = 512, eb: int = 512,
+    vmem_rows_budget: int = 65536,
+) -> TiledPlanV2:
+    """Build the v2 plan from host COO arrays (CSR-sorted or not).
+
+    ``vmem_rows_budget``: rows per superblock ceiling (the (nrb_s, K, rb)
+    output block must fit VMEM; 64Ki rows × K=32 × 4B ≈ 8 MB).
+    """
+    assert eb % _LANE == 0 and rb % _LANE == 0 and ct % _LANE == 0, \
+        "rb/ct/eb must be multiples of 128"
+    nnz = int(row.shape[0])
+    nrb = _cdiv(num_rows, rb)
+    nct = _cdiv(num_cols, ct)
+    nrb_s = max(1, min(nrb, vmem_rows_budget // rb))
+    n_super = _cdiv(nrb, nrb_s)
+
+    if nnz == 0:
+        return TiledPlanV2(
+            edges=jnp.zeros((1, 3, eb // _LANE, _LANE), jnp.int32),
+            rb_locals=jnp.zeros((1,), jnp.int32),
+            cell_starts=jnp.zeros((n_super * nct + 1,), jnp.int32),
+            rb=rb, ct=ct, eb=eb, nc=1, nrb_s=nrb_s, n_super=n_super,
+            num_rows=num_rows, num_cols=num_cols, fill=0.0)
+
+    row = row.astype(np.int64)
+    col = col.astype(np.int64)
+    rbid = row // rb
+    ctid = col // ct
+    sid = rbid // nrb_s
+    order = np.lexsort((row, rbid, ctid, sid))
+    row, col, val = row[order], col[order], val[order]
+    rbid, ctid, sid = rbid[order], ctid[order], sid[order]
+
+    # chunk boundaries: new (sid, ctid, rbid) bucket or eb overflow
+    bucket = (sid * nct + ctid) * nrb + rbid
+    new_bucket = np.empty(nnz, bool)
+    new_bucket[0] = True
+    np.not_equal(bucket[1:], bucket[:-1], out=new_bucket[1:])
+    bucket_start = np.flatnonzero(new_bucket)
+    bucket_ord = np.cumsum(new_bucket) - 1
+    pos = np.arange(nnz, dtype=np.int64) - bucket_start[bucket_ord]
+    chunk_in_bucket = pos // eb
+    new_chunk = new_bucket.copy()
+    np.logical_or(new_chunk[1:],
+                  chunk_in_bucket[1:] != chunk_in_bucket[:-1],
+                  out=new_chunk[1:])
+    chunk_id = np.cumsum(new_chunk) - 1
+    nc = int(chunk_id[-1]) + 1
+    slot = (pos % eb).astype(np.int64)
+
+    local_cols = np.zeros((nc, eb), np.int32)
+    vals_arr = np.zeros((nc, eb), np.float32)
+    local_rows = np.zeros((nc, eb), np.int32)
+    local_cols[chunk_id, slot] = (col - ctid * ct).astype(np.int32)
+    vals_arr[chunk_id, slot] = val.astype(np.float32)
+    local_rows[chunk_id, slot] = (row - rbid * rb).astype(np.int32)
+
+    first_edge = np.flatnonzero(new_chunk)
+    rb_locals = (rbid[first_edge] - sid[first_edge] * nrb_s).astype(np.int32)
+    cell_of_chunk = (sid[first_edge] * nct + ctid[first_edge]).astype(np.int64)
+    counts = np.bincount(cell_of_chunk, minlength=n_super * nct)
+    cell_starts = np.zeros(n_super * nct + 1, np.int32)
+    cell_starts[1:] = np.cumsum(counts)
+
+    sub = eb // _LANE
+    edges = np.empty((nc, 3, sub, _LANE), np.int32)
+    edges[:, 0] = local_cols.reshape(nc, sub, _LANE)
+    edges[:, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
+    edges[:, 2] = local_rows.reshape(nc, sub, _LANE)
+
+    return TiledPlanV2(
+        edges=jnp.asarray(edges),
+        rb_locals=jnp.asarray(rb_locals),
+        cell_starts=jnp.asarray(cell_starts),
+        rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
+        num_rows=num_rows, num_cols=num_cols,
+        fill=float(nnz) / (nc * eb),
+    )

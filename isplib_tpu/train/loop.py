@@ -66,17 +66,21 @@ def make_train_step(model, optimizer, graph, loss: str = "nll",
                     has_batch_stats: bool = False):
     """One jitted epoch: grad + update + train accuracy."""
 
-    def step(params, batch_stats, opt_state, x, y, mask, rng):
+    # graph is threaded as a jit ARGUMENT, never a closure constant: closure
+    # capture embeds the tiling-plan arrays (hundreds of MB on reddit-scale
+    # graphs) into the HLO constant pool, which overflows remote-compile
+    # request limits on tunneled TPU runtimes.
+    def step(graph_, params, batch_stats, opt_state, x, y, mask, rng):
         def loss_of(p):
             variables = {"params": p}
             if has_batch_stats:
                 variables["batch_stats"] = batch_stats
                 logits, updates = model.apply(
-                    variables, graph, x, training=True,
+                    variables, graph_, x, training=True,
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 new_bs = updates["batch_stats"]
             else:
-                logits = model.apply(variables, graph, x, training=True,
+                logits = model.apply(variables, graph_, x, training=True,
                                      rngs={"dropout": rng})
                 new_bs = batch_stats
             return _loss_fn(logits, y, mask, loss), (logits, new_bs)
@@ -89,7 +93,12 @@ def make_train_step(model, optimizer, graph, loss: str = "nll",
         return new_params, new_bs, new_opt_state, lval, acc
 
     # Note: no buffer donation — the warm-up call reuses the initial params.
-    return jax.jit(step)
+    jstep = jax.jit(step)
+
+    def run(params, batch_stats, opt_state, x, y, mask, rng):
+        return jstep(graph, params, batch_stats, opt_state, x, y, mask, rng)
+
+    return run
 
 
 def train_node_classifier(
@@ -168,8 +177,9 @@ def train_node_classifier(
     variables = {"params": params}
     if has_bs:
         variables["batch_stats"] = batch_stats
-    eval_fn = jax.jit(
-        lambda v, x_: model.apply(v, graph, x_, training=False))
+    jeval = jax.jit(
+        lambda v, g_, x_: model.apply(v, g_, x_, training=False))
+    eval_fn = lambda v, x_: jeval(v, graph, x_)
     logits = eval_fn(variables, x)
     _ = float(jnp.sum(logits))  # compile + drain
     t0 = time.perf_counter()

@@ -71,15 +71,17 @@ def lookup(key: str) -> dict[str, Any] | None:
 
 
 DEFAULT_CONFIGS = [
-    # (rb, ct, eb) — multiples of 128, spanning the MXU-work vs
+    # (rb, ct, eb, version) — multiples of 128, spanning the VPU-work vs
     # chunk-padding tradeoff (analog of the reference's K sweep
-    # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22)
-    (128, 256, 256),
-    (256, 512, 512),
-    (256, 1024, 512),
-    (512, 512, 512),
-    (512, 1024, 1024),
-    (1024, 2048, 1024),
+    # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22).
+    # version 2 = column-major streaming kernel (usually fastest);
+    # version 1 = row-block grid kernel.
+    (128, 512, 512, 2),
+    (256, 512, 512, 2),
+    (256, 1024, 512, 2),
+    (512, 512, 1024, 2),
+    (256, 512, 512, 1),
+    (512, 512, 512, 1),
 ]
 
 
@@ -113,8 +115,12 @@ def tune_spmm(
     key = graph_signature(graph, x)
     results = []
 
+    # Graphs are jit ARGUMENTS (not closure constants) so the big edge
+    # arrays never enter the HLO constant pool — closure capture overflows
+    # remote-compile payload limits on tunneled TPU runtimes.
     if include_xla:
-        f = jax.jit(lambda x_: spmm(graph, x_, backend="xla") * 1e-3)
+        jf = jax.jit(lambda x_, g_: spmm(g_, x_, backend="xla") * 1e-3)
+        f = lambda x_: jf(x_, graph)
         dt = chain_time(f, x, iters)
         results.append(dict(backend="xla", seconds=dt,
                             edges_per_s=graph.nnz / dt))
@@ -123,30 +129,36 @@ def tune_spmm(
                   f"({graph.nnz / dt / 1e9:.3f} Ge/s)")
 
     best_tiled = None
-    for rb, ct, eb in (configs or DEFAULT_CONFIGS):
+    for cfg in (configs or DEFAULT_CONFIGS):
+        rb, ct, eb = cfg[:3]
+        version = cfg[3] if len(cfg) > 3 else 2
         try:
             tg = build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
-                                         build_backward=False)
-            f = jax.jit(lambda x_, tg_=tg: spmm(tg_, x_,
-                                                backend="pallas") * 1e-3)
+                                         build_backward=False,
+                                         version=version)
+            jf = jax.jit(lambda x_, tg_: spmm(tg_, x_,
+                                              backend="pallas") * 1e-3)
+            f = lambda x_, tg_=tg: jf(x_, tg_)
             dt = chain_time(f, x, iters)
-            entry = dict(backend="pallas", rb=rb, ct=ct, eb=eb, seconds=dt,
+            entry = dict(backend="pallas", rb=rb, ct=ct, eb=eb,
+                         version=version, seconds=dt,
                          edges_per_s=graph.nnz / dt, fill=tg.fwd.fill)
             results.append(entry)
             if verbose:
-                print(f"[tune] pallas rb={rb} ct={ct} eb={eb} "
+                print(f"[tune] pallas v{version} rb={rb} ct={ct} eb={eb} "
                       f"fill={tg.fwd.fill:.2f}: {dt * 1e3:.2f} ms "
                       f"({graph.nnz / dt / 1e9:.3f} Ge/s)")
         except Exception as ex:  # config may exceed VMEM etc.
             if verbose:
-                print(f"[tune] pallas rb={rb} ct={ct} eb={eb} failed: "
-                      f"{str(ex)[:120]}")
+                print(f"[tune] pallas v{version} rb={rb} ct={ct} eb={eb} "
+                      f"failed: {str(ex)[:120]}")
 
     best = min(results, key=lambda r: r["seconds"])
     record(key, best)
     if best["backend"] == "pallas":
         best_tiled = build_tiling_from_numpy(
-            graph, arrays, rb=best["rb"], ct=best["ct"], eb=best["eb"])
+            graph, arrays, rb=best["rb"], ct=best["ct"], eb=best["eb"],
+            version=best.get("version", 2))
     if verbose:
         print(f"[tune] best: {best}")
     return best, best_tiled

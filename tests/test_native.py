@@ -52,9 +52,11 @@ def test_plan_native_vs_numpy(rng, monkeypatch):
     arrays = graph_mod._build_arrays(dst, src, None, 300, 300, 256)
     g = graph_mod.CSRGraph(**graph_mod._to_device(arrays))
 
-    tg_native = build_tiling_from_numpy(g, arrays, rb=128, ct=128, eb=128)
+    tg_native = build_tiling_from_numpy(g, arrays, rb=128, ct=128, eb=128,
+                                        version=1)
     monkeypatch.setattr(native, "available", lambda: False)
-    tg_numpy = build_tiling_from_numpy(g, arrays, rb=128, ct=128, eb=128)
+    tg_numpy = build_tiling_from_numpy(g, arrays, rb=128, ct=128, eb=128,
+                                       version=1)
 
     pn, pp = tg_native.fwd, tg_numpy.fwd
     assert pn.nc == pp.nc

@@ -20,18 +20,18 @@ def assert_close_bf16(got, want):
 
 
 def make_graph(rng, num_rows=300, num_cols=280, nnz=2000, rb=128, ct=128,
-               eb=128):
+               eb=128, version=2):
     src = rng.integers(0, num_cols, size=nnz)
     dst = rng.integers(0, num_rows, size=nnz)
     vals = rng.normal(size=nnz).astype(np.float32)
     g = from_edge_index(np.stack([src, dst]), num_nodes=num_rows,
                         num_src_nodes=num_cols, edge_value=vals,
                         edge_multiple=256)
-    return build_tiling(g, rb=rb, ct=ct, eb=eb)
+    return build_tiling(g, rb=rb, ct=ct, eb=eb, version=version)
 
 
 def test_plan_invariants(rng):
-    tg = make_graph(rng)
+    tg = make_graph(rng, version=1)
     plan = tg.fwd
     lr = np.asarray(plan.local_rows)
     lc = np.asarray(plan.local_cols)
@@ -63,20 +63,76 @@ def test_plan_invariants(rng):
     assert got == set(zip(row.tolist(), col.tolist()))
 
 
+@pytest.mark.parametrize("version", [1, 2])
 @pytest.mark.parametrize("reduce", ["sum", "mean"])
-def test_pallas_forward_vs_oracle(rng, reduce):
-    tg = make_graph(rng)
+def test_pallas_forward_vs_oracle(rng, reduce, version):
+    tg = make_graph(rng, version=version)
     x = jnp.asarray(rng.normal(size=(tg.num_cols, 64)).astype(np.float32))
     got = spmm(tg, x, reduce=reduce, backend="pallas")
     want = spmm(tg.graph, x, reduce=reduce, backend="xla")
     assert_close_bf16(got, want)
     # exact-mode check: fp32 compute matches the oracle tightly in
     # interpret mode (on-chip, Mosaic still uses bf16 passes)
-    if reduce == "sum":
+    if reduce == "sum" and version == 1:
         exact = spmm_tiled(tg.fwd, x, compute_dtype=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(exact), np.asarray(want),
                                    rtol=1e-4, atol=1e-4)
+    if reduce == "sum" and version == 2:
+        from isplib_tpu.kernels.spmm_pallas_v2 import spmm_tiled_v2
+        exact = spmm_tiled_v2(tg.fwd, x, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(exact), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_plan_v2_invariants(rng):
+    """v2 plan reconstructs the exact global COO set."""
+    tg = make_graph(rng, version=2)
+    plan = tg.fwd
+    cv = np.asarray(plan.edges)
+    nc, eb = cv.shape[0], plan.eb
+    lc = cv[:, 0].reshape(nc, eb)
+    v = cv[:, 1].reshape(nc, eb).view(np.float32)
+    lr = cv[:, 2].reshape(nc, eb)
+    rbl = np.asarray(plan.rb_locals)
+    cells = np.asarray(plan.cell_starts)
+    nct = plan.nct
+    assert (lr >= 0).all() and (lr < plan.rb).all()
+    assert (lc >= 0).all() and (lc < plan.ct).all()
+    assert (v != 0).sum() == tg.graph.nnz
+    # reconstruct (row, col) per chunk from its cell (super, ct) + rb_local
+    got = set()
+    for cell in range(len(cells) - 1):
+        s, c = divmod(cell, nct)
+        for ci in range(cells[cell], cells[cell + 1]):
+            rb_global = s * plan.nrb_s + rbl[ci]
+            mask = v[ci] != 0
+            rows_g = rb_global * plan.rb + lr[ci][mask]
+            cols_g = c * plan.ct + lc[ci][mask]
+            got |= set(zip(rows_g.tolist(), cols_g.tolist()))
+    row = np.asarray(tg.graph.row)[: tg.nnz]
+    col = np.asarray(tg.graph.col)[: tg.nnz]
+    assert got == set(zip(row.tolist(), col.tolist()))
+
+
+def test_plan_v2_multi_superblock(rng):
+    """Row count above the VMEM budget splits into superblocks."""
+    from isplib_tpu.sparse.tiling_v2 import build_plan_v2_arrays
+    from isplib_tpu.kernels.spmm_pallas_v2 import spmm_tiled_v2
+    num_rows = 600
+    src = rng.integers(0, num_rows, 3000)
+    dst = rng.integers(0, num_rows, 3000)
+    vals = rng.normal(size=3000).astype(np.float32)
+    plan = build_plan_v2_arrays(dst, src, vals, num_rows, num_rows,
+                                rb=128, ct=128, eb=128,
+                                vmem_rows_budget=256)  # 2 rb per super
+    assert plan.n_super == 3 and plan.nrb_s == 2
+    x = jnp.asarray(rng.normal(size=(num_rows, 16)).astype(np.float32))
+    got = spmm_tiled_v2(plan, x, compute_dtype=jnp.float32)
+    dense = np.zeros((num_rows, num_rows), np.float32)
+    np.add.at(dense, (dst, src), vals)  # duplicate edges accumulate
+    np.testing.assert_allclose(np.asarray(got), dense @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_pallas_auto_backend(rng):
