@@ -62,9 +62,12 @@ def _gather_x(x, cols, k_pad: int, ct: int, eb: int):
         for cg in range(ct // _LANE):
             src = x[:, cg * _LANE:(cg + 1) * _LANE]            # (k_pad, 128)
             local = idx - cg * _LANE
-            valid = (local >= 0) & (local < _LANE)
-            gi = jnp.take_along_axis(src, jnp.clip(local, 0, _LANE - 1),
-                                     axis=1)
+            # wrap = local mod 128 (bitwise; negative two's-complement
+            # wraps into range too) — always a safe gather index, and one
+            # VPU op vs. two for clip
+            gi = jnp.take_along_axis(src, local & (_LANE - 1), axis=1)
+            # single unsigned compare replaces (>= 0) & (< 128)
+            valid = local.astype(jnp.uint32) < _LANE
             g = jnp.where(valid, gi, g)
         outs.append(g)
     return outs

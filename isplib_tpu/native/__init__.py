@@ -17,7 +17,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["available", "sort_csr", "plan_chunks", "rmat", "lib_path"]
+__all__ = ["available", "sort_csr", "plan_chunks", "plan_chunks_v2",
+           "rmat", "lib_path"]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -65,6 +66,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, i32p, i32p]
     lib.isplib_version.restype = ctypes.c_int
+    if hasattr(lib, "isplib_plan_v2_count"):
+        lib.isplib_plan_v2_count.restype = ctypes.c_int64
+        lib.isplib_plan_v2_count.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p, i64p, ctypes.c_int64, i32p]
+        lib.isplib_plan_v2_fill.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i64p, i64p, i32p]
     _LIB = lib
     return _LIB
 
@@ -128,6 +139,51 @@ def plan_chunks(row: np.ndarray, col: np.ndarray, val: np.ndarray,
     rb_ids = np.repeat(np.arange(nrb, dtype=np.int32),
                        np.diff(chunk_starts))
     return edges, rb_ids, ct_ids, chunk_starts.astype(np.int32)
+
+
+def has_plan_v2() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "isplib_plan_v2_count")
+
+
+def plan_chunks_v2(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                   num_rows: int, num_cols: int,
+                   rb: int, ct: int, eb: int, nrb_s: int):
+    """Build v2 packed plan arrays from CSR-sorted COO.
+
+    Returns (edges (nc,3,eb) int32 [cols|vals|rows], rb_locals (nc,) i32,
+    cell_starts (n_super*nct+1,) i32).
+    """
+    lib = _load()
+    assert lib is not None
+    nnz = int(row.shape[0])
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    nrb = -(-num_rows // rb)
+    nct = -(-num_cols // ct)
+    n_super = -(-nrb // nrb_s)
+    chunk_of = np.empty(nnz, np.int64)
+    rank = np.empty(nnz, np.int64)
+    cell_starts = np.empty(n_super * nct + 1, np.int64)
+    # upper bound on chunks: one partial chunk per non-empty bucket + full
+    # chunks; nnz/eb + nrb*nct is safe and cheap to allocate (int32 each)
+    cap = nnz // eb + nrb * nct + 1
+    rb_locals = np.zeros(cap, np.int32)
+    nc = lib.isplib_plan_v2_count(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32), nnz,
+        num_rows, num_cols, rb, ct, eb, nrb_s,
+        _ptr(chunk_of, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
+        _ptr(cell_starts, ctypes.c_int64), cap,
+        _ptr(rb_locals, ctypes.c_int32))
+    assert nc <= cap, "chunk-count bound violated"
+    edges = np.zeros((nc, 3, eb), np.int32)
+    lib.isplib_plan_v2_fill(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        _ptr(val, ctypes.c_float), nnz, rb, ct, eb,
+        _ptr(chunk_of, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
+        _ptr(edges, ctypes.c_int32))
+    return edges, rb_locals[:nc], cell_starts.astype(np.int32)
 
 
 def rmat(num_edges: int, num_nodes: int, seed: int = 0,

@@ -119,6 +119,22 @@ def build_plan_v2_arrays(
             rb=rb, ct=ct, eb=eb, nc=1, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols, fill=0.0)
 
+    from .. import native
+    if (native.available() and getattr(native, "has_plan_v2", lambda: 0)()
+            and bool(np.all(row[1:] >= row[:-1]))):
+        # linear-time OpenMP path (requires row-sorted input — the cheap
+        # sortedness check guards callers that pass raw COO)
+        edges, rb_locals, cell_starts = native.plan_chunks_v2(
+            row, col, val, num_rows, num_cols, rb, ct, eb, nrb_s)
+        nc = edges.shape[0]
+        return TiledPlanV2(
+            edges=jnp.asarray(edges.reshape(nc, 3, eb // _LANE, _LANE)),
+            rb_locals=jnp.asarray(rb_locals),
+            cell_starts=jnp.asarray(cell_starts),
+            rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
+            num_rows=num_rows, num_cols=num_cols,
+            fill=float(nnz) / (nc * eb))
+
     row = row.astype(np.int64)
     col = col.astype(np.int64)
     rbid = row // rb

@@ -169,6 +169,131 @@ void isplib_plan_fill(const int32_t* row, const int32_t* col,
 }
 
 // ---------------------------------------------------------------------------
+// v2 tiling plan: column-major streaming order (superblock, ct, rb, row).
+//
+// Counterpart of sparse/tiling_v2.py's numpy builder.  Input edges must be
+// CSR-sorted.  Phase 1 assigns each edge a global chunk id + slot and fills
+// cell_starts (n_super*nct + 1) and per-chunk rb_locals; returns nc.
+// Buckets are (super, ct, rb); chunks = ceil(n/eb) per non-empty bucket
+// (no pad chunks — the kernel zero-fills every output block).
+// ---------------------------------------------------------------------------
+int64_t isplib_plan_v2_count(const int32_t* row, const int32_t* col,
+                             int64_t nnz, int32_t num_rows, int32_t num_cols,
+                             int32_t rb, int32_t ct, int32_t eb,
+                             int32_t nrb_s,
+                             int64_t* chunk_of /* nnz */,
+                             int64_t* rank_in_chunk /* nnz */,
+                             int64_t* cell_starts /* n_super*nct+1 */,
+                             int64_t rbl_cap, int32_t* rb_locals /* cap */) {
+    const int64_t nrb = (num_rows + rb - 1) / rb;
+    const int64_t nct = (num_cols + ct - 1) / ct;
+    const int64_t n_super = (nrb + nrb_s - 1) / nrb_s;
+    const int64_t sb_rows = (int64_t)nrb_s * rb;
+
+    // super boundaries by scanning the row-sorted edges
+    int64_t* sup_start = new int64_t[n_super + 1];
+    sup_start[0] = 0;
+    {
+        int64_t e = 0;
+        for (int64_t s = 1; s <= n_super; ++s) {
+            int64_t bound = s * sb_rows;
+            if (bound > num_rows) bound = num_rows;
+            while (e < nnz && row[e] < bound) ++e;
+            sup_start[s] = e;
+        }
+    }
+
+    // phase A (parallel over supers): per-super bucket counts -> local
+    // chunk ids; chunks ordered (ct, rb) within the super.
+    int64_t* sup_chunks = new int64_t[n_super]();
+    // per-super, per-cell chunk counts for cell_starts
+    int64_t* cell_cnt = new int64_t[n_super * nct]();
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t s = 0; s < n_super; ++s) {
+        const int64_t lo = sup_start[s], hi = sup_start[s + 1];
+        if (lo == hi) continue;
+        const int64_t nb = nct * nrb_s;           // buckets in this super
+        int64_t* cnt = new int64_t[nb]();
+        for (int64_t e = lo; e < hi; ++e) {
+            const int64_t t = col[e] / ct;
+            const int64_t rbl = row[e] / rb - s * nrb_s;
+            cnt[t * nrb_s + rbl]++;
+        }
+        int64_t chunks_here = 0;
+        int64_t* base = new int64_t[nb];
+        for (int64_t t = 0; t < nct; ++t) {
+            int64_t cell_chunks = 0;
+            for (int64_t r = 0; r < nrb_s; ++r) {
+                const int64_t b = t * nrb_s + r;
+                base[b] = chunks_here;
+                const int64_t ch = (cnt[b] + eb - 1) / eb;
+                chunks_here += ch;
+                cell_chunks += ch;
+            }
+            cell_cnt[s * nct + t] = cell_chunks;
+        }
+        int64_t* cursor = new int64_t[nb]();
+        for (int64_t e = lo; e < hi; ++e) {
+            const int64_t t = col[e] / ct;
+            const int64_t rbl = row[e] / rb - s * nrb_s;
+            const int64_t b = t * nrb_s + rbl;
+            const int64_t pos = cursor[b]++;
+            chunk_of[e] = base[b] + pos / eb;     // super-local id
+            rank_in_chunk[e] = pos % eb;
+        }
+        sup_chunks[s] = chunks_here;
+        delete[] cnt; delete[] base; delete[] cursor;
+    }
+
+    // prefix supers -> global chunk ids; build cell_starts
+    int64_t* sup_base = new int64_t[n_super + 1];
+    sup_base[0] = 0;
+    for (int64_t s = 0; s < n_super; ++s)
+        sup_base[s + 1] = sup_base[s] + sup_chunks[s];
+    const int64_t nc = sup_base[n_super];
+    cell_starts[0] = 0;
+    for (int64_t i = 0; i < n_super * nct; ++i)
+        cell_starts[i + 1] = cell_starts[i] + cell_cnt[i];
+#pragma omp parallel for schedule(dynamic, 1)
+    for (int64_t s = 0; s < n_super; ++s) {
+        const int64_t lo = sup_start[s], hi = sup_start[s + 1];
+        for (int64_t e = lo; e < hi; ++e) chunk_of[e] += sup_base[s];
+    }
+    // rb_locals per chunk (first edge of each chunk defines it)
+    if (nc <= rbl_cap) {
+#pragma omp parallel for schedule(static)
+        for (int64_t e = 0; e < nnz; ++e) {
+            if (rank_in_chunk[e] == 0) {
+                const int64_t s = row[e] / sb_rows;
+                rb_locals[chunk_of[e]] = (int32_t)(row[e] / rb - s * nrb_s);
+            }
+        }
+    }
+    delete[] sup_start; delete[] sup_chunks; delete[] cell_cnt;
+    delete[] sup_base;
+    return nc;
+}
+
+// Fill for v2: edges_packed (nc, 3, eb) int32 — plane 0 local cols,
+// plane 1 f32 values bit-cast, plane 2 local rows.  Pre-zeroed by caller.
+void isplib_plan_v2_fill(const int32_t* row, const int32_t* col,
+                         const float* val, int64_t nnz,
+                         int32_t rb, int32_t ct, int32_t eb,
+                         const int64_t* chunk_of,
+                         const int64_t* rank_in_chunk,
+                         int32_t* edges_packed /* nc*3*eb */) {
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < nnz; ++e) {
+        const int64_t c = chunk_of[e];
+        const int64_t s = rank_in_chunk[e];
+        int32_t* chunk = edges_packed + c * 3 * (int64_t)eb;
+        chunk[s] = col[e] - (col[e] / ct) * ct;
+        std::memcpy(chunk + eb + s, &val[e], 4);
+        chunk[2 * (int64_t)eb + s] = row[e] - (row[e] / rb) * rb;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // R-MAT edge generator (power-law graphs for benchmarks).
 // Deterministic per (seed, index) via SplitMix64 — parallel-safe.
 // ---------------------------------------------------------------------------

@@ -80,3 +80,30 @@ def test_rmat_native_shape_and_determinism():
     # power-law-ish: max degree far above mean
     deg = np.bincount(d1, minlength=1024)
     assert deg.max() > 5 * deg.mean()
+
+
+def test_plan_v2_native_vs_numpy(rng, monkeypatch):
+    from isplib_tpu.sparse import graph as graph_mod
+    from isplib_tpu.sparse.tiling_v2 import build_plan_v2_arrays
+    if not (native.available() and native.has_plan_v2()):
+        pytest.skip("native v2 plan builder not built")
+    src = rng.integers(0, 700, 6000)
+    dst = rng.integers(0, 700, 6000)
+    arrays = graph_mod._build_arrays(dst, src, None, 700, 700, 256)
+    nnz = 6000
+    row = arrays["row"][:nnz].astype(np.int64)
+    col = arrays["col"][:nnz].astype(np.int64)
+    val = arrays["value"][:nnz].astype(np.float32)
+
+    pn = build_plan_v2_arrays(row, col, val, 700, 700, rb=128, ct=128,
+                              eb=128, vmem_rows_budget=256)
+    monkeypatch.setattr(native, "available", lambda: False)
+    pp = build_plan_v2_arrays(row, col, val, 700, 700, rb=128, ct=128,
+                              eb=128, vmem_rows_budget=256)
+    assert pn.nc == pp.nc and pn.n_super == pp.n_super
+    np.testing.assert_array_equal(np.asarray(pn.cell_starts),
+                                  np.asarray(pp.cell_starts))
+    np.testing.assert_array_equal(np.asarray(pn.rb_locals),
+                                  np.asarray(pp.rb_locals))
+    np.testing.assert_array_equal(np.asarray(pn.edges),
+                                  np.asarray(pp.edges))
