@@ -188,7 +188,7 @@ def main():
         from isplib_tpu.sparse.tiling import build_tiling_from_numpy
         t0 = time.time()
         graph = build_tiling_from_numpy(graph, np_arrays, rb=args.rb,
-                                        ct=args.ct, eb=args.eb)
+                                        ct=args.ct, eb=args.eb, k=args.k)
         log(f"tiling plan built in {time.time() - t0:.1f}s: "
             f"nc={graph.fwd.nc}, fill={graph.fwd.fill_fraction:.2f}")
 

@@ -86,7 +86,7 @@ def _spmm_v2_kernel(
     rb: int, ct: int, eb: int, nct: int, compute_dtype,
 ):
     s = pl.program_id(0)
-    c = pl.program_id(1)
+    c = pl.program_id(2)  # grid = (superblock, k-tile, col-tile)
     cell = s * nct + c
     start = cell_starts_ref[cell]
     end = cell_starts_ref[cell + 1]
@@ -147,6 +147,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 @functools.partial(
     jax.jit, static_argnames=("compute_dtype", "interpret"))
 def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
@@ -154,8 +158,13 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
     k = x.shape[1]
     rb, ct, eb = plan.rb, plan.ct, plan.eb
     nct, n_super, nrb_s = plan.nct, plan.n_super, plan.nrb_s
-    k_pad = _round_up(k, 32)
     sub = eb // _LANE
+    # K grid axis: runtime K may differ from the plan's expected K (layers
+    # of one model share a graph but not a width), so tile at
+    # kt = min(plan.kt, k_pad) — VMEM use depends only on plan.kt.
+    kt = min(plan.kt, _round_up(k, 32))
+    n_kt = _cdiv(_round_up(k, 32), kt)
+    k_pad = n_kt * kt
 
     xt = jnp.zeros((k_pad, plan.c_padded), x.dtype)
     xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
@@ -166,14 +175,14 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_super, nct),
+        grid=(n_super, n_kt, nct),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # edges
-            pl.BlockSpec((k_pad, ct), lambda s, c, cs, rbl: (0, c),
+            pl.BlockSpec((kt, ct), lambda s, kk, c, cs, rbl: (kk, c),
                          memory_space=pltpu.VMEM),              # x tile
         ],
         out_specs=pl.BlockSpec(
-            (nrb_s, k_pad, rb), lambda s, c, cs, rbl: (s, 0, 0),
+            (nrb_s, kt, rb), lambda s, kk, c, cs, rbl: (s, kk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),          # edge planes
@@ -183,7 +192,7 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
 
     nc = plan.nc
     flops = 2 * nc * eb * k_pad * rb
-    bytes_accessed = (nc * (3 * eb * 4)
+    bytes_accessed = (nc * n_kt * (3 * eb * 4)
                       + n_super * nct * ct * k_pad * x.dtype.itemsize
                       + plan.r_padded * k_pad * 4)
 

@@ -181,18 +181,32 @@ def spmm(
         return spmm_sharded(graph, x, reduce=reduce)
     backend = backend or _DEFAULT_BACKEND
     if backend == "auto":
-        backend = _choose_backend(graph, x)
+        graph, backend = _auto_route(graph, x)
     reduce = Reduce.of(reduce).value
     return _spmm(graph, x, reduce, backend)
 
 
-def _choose_backend(graph, x: jax.Array) -> str:
-    """Cheap static heuristic; the autotuner (isplib_tpu.tune) overrides
-    this with measured choices."""
+def _auto_route(graph, x: jax.Array):
+    """Backend (and possibly graph) for ``backend='auto'``.
+
+    TiledGraph → pallas.  A plain *concrete* CSRGraph large enough to
+    deserve the kernel is upgraded in place via
+    :func:`isplib_tpu.sparse.tiling.auto_tile` (one-time plan build,
+    memoized per graph) — an untuned user with a 100M-edge graph must
+    not silently stay on segment-sum.  Inside a jit trace the graph
+    leaves are tracers, so the decision falls back to the measured tune
+    cache (static lookup): pre-build or tune before jitting for the
+    kernel path there.
+    """
     if isinstance(graph, TiledGraph):
-        return "pallas"
+        return graph, "pallas"
+    if not isinstance(graph.col, jax.core.Tracer):
+        from ..sparse.tiling import auto_tile
+        upgraded = auto_tile(graph, k=int(x.shape[-1]))
+        if isinstance(upgraded, TiledGraph):
+            return upgraded, "pallas"
     from ..tune import autotune
-    return autotune.lookup_backend(graph, x)
+    return graph, autotune.lookup_backend(graph, x)
 
 
 def sddmm(

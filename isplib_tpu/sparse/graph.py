@@ -238,6 +238,26 @@ def _build_arrays(
     )
 
 
+# Host-array registry: from_edge_index/from_scipy keep the numpy forms of
+# each constructed graph alive (by graph identity) so later consumers —
+# tiling-plan builders, the autotuner, backend='auto' upgrades — never
+# read the edge arrays back through the device (catastrophically slow on
+# tunneled TPUs).  Entries die with the graph (weakref.finalize).
+_HOST_ARRAYS: dict = {}
+
+
+def register_host_arrays(graph, arrays: dict) -> None:
+    import weakref
+    key = id(graph)
+    _HOST_ARRAYS[key] = arrays
+    weakref.finalize(graph, _HOST_ARRAYS.pop, key, None)
+
+
+def host_arrays(graph):
+    """The numpy construction arrays of ``graph``, if still registered."""
+    return _HOST_ARRAYS.get(id(graph))
+
+
 def _to_device(arrays: dict) -> dict:
     out = {}
     for k, v in arrays.items():
@@ -295,6 +315,7 @@ def from_scipy(mat, edge_multiple: int = 512,
 
 def _finalize(arrays: dict, tiling):
     graph = CSRGraph(**_to_device(arrays))
+    register_host_arrays(graph, arrays)
     if tiling is None:
         return graph
     from .tiling import build_tiling_from_numpy  # cycle-free deferred import

@@ -112,6 +112,11 @@ def train_node_classifier(
     verbose: bool = False,
 ) -> TrainResult:
     graph = ds.graph
+    # backend='auto' upgrade must happen here, where the graph is still a
+    # concrete pytree (inside the jitted step it is all tracers).
+    if getattr(model, "backend", "auto") == "auto":
+        from ..sparse.tiling import auto_tile
+        graph = auto_tile(graph, k=int(np.asarray(ds.x).shape[-1]))
     x = jnp.asarray(ds.x)
     y = jnp.asarray(ds.y)
     train_mask = jnp.asarray(ds.train_mask)

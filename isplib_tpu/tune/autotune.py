@@ -30,13 +30,17 @@ _lock = threading.Lock()
 _memory_cache: dict[str, Any] | None = None
 
 
-def graph_signature(graph, x) -> str:
+def signature_of(graph, k: int, dtype: str = "float32") -> str:
     avg_deg = graph.nnz / max(graph.num_rows, 1)
     dev = jax.devices()[0].platform
     return (
         f"r{graph.num_rows}_c{graph.num_cols}_e{graph.nnz}"
-        f"_d{avg_deg:.1f}_k{x.shape[-1]}_{x.dtype}_{dev}"
+        f"_d{avg_deg:.1f}_k{k}_{dtype}_{dev}"
     )
+
+
+def graph_signature(graph, x) -> str:
+    return signature_of(graph, int(x.shape[-1]), str(x.dtype))
 
 
 def _load_cache() -> dict[str, Any]:
@@ -135,7 +139,7 @@ def tune_spmm(
         try:
             tg = build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
                                          build_backward=False,
-                                         version=version)
+                                         version=version, k=k)
             jf = jax.jit(lambda x_, tg_: spmm(tg_, x_,
                                               backend="pallas") * 1e-3)
             f = lambda x_, tg_=tg: jf(x_, tg_)
@@ -158,7 +162,7 @@ def tune_spmm(
     if best["backend"] == "pallas":
         best_tiled = build_tiling_from_numpy(
             graph, arrays, rb=best["rb"], ct=best["ct"], eb=best["eb"],
-            version=best.get("version", 2))
+            version=best.get("version", 2), k=k)
     if verbose:
         print(f"[tune] best: {best}")
     return best, best_tiled

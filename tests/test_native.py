@@ -96,10 +96,10 @@ def test_plan_v2_native_vs_numpy(rng, monkeypatch):
     val = arrays["value"][:nnz].astype(np.float32)
 
     pn = build_plan_v2_arrays(row, col, val, 700, 700, rb=128, ct=128,
-                              eb=128, vmem_rows_budget=256)
+                              eb=128, k=16, vmem_out_bytes=2 * 32 * 128 * 4)
     monkeypatch.setattr(native, "available", lambda: False)
     pp = build_plan_v2_arrays(row, col, val, 700, 700, rb=128, ct=128,
-                              eb=128, vmem_rows_budget=256)
+                              eb=128, k=16, vmem_out_bytes=2 * 32 * 128 * 4)
     assert pn.nc == pp.nc and pn.n_super == pp.n_super
     np.testing.assert_array_equal(np.asarray(pn.cell_starts),
                                   np.asarray(pp.cell_starts))
