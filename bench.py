@@ -160,14 +160,19 @@ def main():
     # Edges/s throughput is scale-insensitive once the kernel saturates.
     ap.add_argument("--scale", type=float, default=0.05)
     ap.add_argument("--k", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--edge-multiple", type=int, default=4096)
     ap.add_argument("--skip-gcn", action="store_true")
     ap.add_argument("--rb", type=int, default=256)
-    ap.add_argument("--ct", type=int, default=512)
+    ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
+    ap.add_argument("--version", type=int, default=3,
+                    help="plan version: 3=hybrid BSR, 2=edge streaming")
+    ap.add_argument("--dense-threshold", type=int, default=64)
+    ap.add_argument("--g", type=int, default=32,
+                    help="BSR blocks per DMA group (version 3)")
     ap.add_argument("--tune", action="store_true",
                     help="autotune (rb, ct, eb, backend) before benching")
     args = ap.parse_args()
@@ -187,10 +192,16 @@ def main():
     elif args.backend in ("pallas", "auto"):
         from isplib_tpu.sparse.tiling import build_tiling_from_numpy
         t0 = time.time()
+        kw = {}
+        if args.version == 3:
+            kw = dict(dense_threshold=args.dense_threshold, g=args.g)
         graph = build_tiling_from_numpy(graph, np_arrays, rb=args.rb,
-                                        ct=args.ct, eb=args.eb, k=args.k)
+                                        ct=args.ct, eb=args.eb, k=args.k,
+                                        version=args.version, **kw)
+        extra = (f", dense_e={graph.fwd.dense_edges}"
+                 if args.version == 3 else "")
         log(f"tiling plan built in {time.time() - t0:.1f}s: "
-            f"nc={graph.fwd.nc}, fill={graph.fwd.fill_fraction:.2f}")
+            f"nc={graph.fwd.nc}, fill={graph.fwd.fill_fraction:.2f}{extra}")
 
     t_spmm = bench_spmm(graph, args.k, args.iters, args.backend)
     edges_per_s = graph.nnz / t_spmm

@@ -9,10 +9,12 @@ the graph analog of sequence parallelism, built TPU-first:
   contiguously across the ``"data"`` mesh axis — each device owns
   ``rows_per_shard`` rows and the edges pointing INTO them, so the output
   needs no cross-device reduction;
-* each edge's source column is remapped at partition time into a
-  ``[local | halo]`` index space: the halo is filled by a single
-  ``all_to_all`` of boundary node features over ICI (send lists are
-  precomputed, padded, static — XLA sees fixed shapes);
+* each shard's edges are **split into a local set and a halo set**: local
+  edges read only locally-owned feature rows and can be aggregated while
+  the boundary-feature ``all_to_all`` is in flight (XLA's latency-hiding
+  scheduler overlaps the ICI collective with the independent local SpMM);
+  halo edges read the received halo buffer and are aggregated second;
+* send lists are precomputed, padded, static — XLA sees fixed shapes;
 * gradients flow through the exchange automatically (``all_to_all`` and
   the local gather both have transposes), so ``jax.grad`` of a sharded
   train step yields the correct reduce-scattered feature gradients.
@@ -43,22 +45,25 @@ def _round_up(a: int, b: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedGraph:
-    """Stacked per-shard COO with halo-remapped columns.
+    """Stacked per-shard COO, split into local and halo edge sets.
 
     All array leaves have leading dim ``num_shards`` and are intended to be
     sharded over the ``"data"`` mesh axis (one slice per device) inside
     ``shard_map``.
 
-    Column index space per shard: ``[0, rows_per_shard)`` = locally owned
-    x rows; ``[rows_per_shard, rows_per_shard + num_shards*halo)`` = halo
-    buffer slots (position ``rows_per_shard + s*halo + k`` holds the k-th
-    entry received from shard s).  Sentinel column
-    ``rows_per_shard + num_shards*halo`` addresses the phantom zero row.
+    Local edges (``*_loc``) have columns in ``[0, rows_per_shard)``
+    (sentinel ``rows_per_shard`` = phantom zero row for pads).  Halo edges
+    (``*_halo``) have columns in the received-halo index space
+    ``[0, num_shards*halo)`` (position ``s*halo + k`` = the k-th entry
+    received from shard s; sentinel ``num_shards*halo``).
     """
 
-    row: jax.Array          # (D, E) int32 — local row ids, sorted; pad=rps
-    col: jax.Array          # (D, E) int32 — [local|halo] index; pad=sentinel
-    value: jax.Array        # (D, E) float32 — pad 0
+    row_loc: jax.Array      # (D, EL) int32 — local row ids, sorted; pad=rps
+    col_loc: jax.Array      # (D, EL) int32 — locally-owned col; pad=rps
+    val_loc: jax.Array      # (D, EL) float32 — pad 0
+    row_halo: jax.Array     # (D, EH) int32 — local row ids; pad=rps
+    col_halo: jax.Array     # (D, EH) int32 — halo-space col; pad=D*halo
+    val_halo: jax.Array     # (D, EH) float32 — pad 0
     deg: jax.Array          # (D, rps) float32 — true in-degree of each row
     send_ids: jax.Array     # (D, D, H) int32 — local x rows shard i sends
                             #   to shard j; pad slots point at rps (zero row)
@@ -67,10 +72,15 @@ class ShardedGraph:
     halo: int = dataclasses.field(metadata=dict(static=True))  # H per pair
     num_shards: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))   # global real
+    local_edges: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+    halo_edges: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
 
     @property
-    def sentinel_col(self) -> int:
-        return self.rows_per_shard + self.num_shards * self.halo
+    def halo_fraction(self) -> float:
+        """Fraction of real edges that need a remote feature row."""
+        return self.halo_edges / max(self.nnz, 1)
 
 
 def partition_rows(
@@ -81,6 +91,7 @@ def partition_rows(
     num_shards: int,
     edge_multiple: int = 512,
     halo_multiple: int = 128,
+    verbose: bool = False,
 ) -> ShardedGraph:
     """Partition a square adjacency by contiguous row blocks.
 
@@ -125,26 +136,45 @@ def partition_rows(
         recv_lists.append(lists)
     halo = _round_up(halo_max, halo_multiple)
 
-    sentinel = rps + d * halo
-    e_max = _round_up(max(max((len(e) for e in shard_edges), default=1), 1)
-                      + 1, edge_multiple)
+    # split each shard's edges into local vs halo sets
+    loc_parts, halo_parts = [], []
+    for i in range(d):
+        e = shard_edges[i]
+        local_mask = (col[e] // rps) == i
+        loc_parts.append(e[local_mask])
+        halo_parts.append(e[~local_mask])
+    n_loc = sum(len(p) for p in loc_parts)
+    n_halo = nnz - n_loc
 
-    rows_s = np.full((d, e_max), rps, np.int32)
-    cols_s = np.full((d, e_max), sentinel, np.int32)
-    vals_s = np.zeros((d, e_max), np.float32)
+    el_max = _round_up(max(max((len(p) for p in loc_parts), default=1), 1)
+                       + 1, edge_multiple)
+    eh_max = _round_up(max(max((len(p) for p in halo_parts), default=1), 1)
+                       + 1, edge_multiple)
+
+    halo_sentinel = d * halo
+    row_loc = np.full((d, el_max), rps, np.int32)
+    col_loc = np.full((d, el_max), rps, np.int32)   # phantom local row
+    val_loc = np.zeros((d, el_max), np.float32)
+    row_halo = np.full((d, eh_max), rps, np.int32)
+    col_halo = np.full((d, eh_max), halo_sentinel, np.int32)
+    val_halo = np.zeros((d, eh_max), np.float32)
     send_ids = np.full((d, d, halo), rps, np.int32)  # pad → zero row
     deg_s = deg_global.reshape(d, rps)
 
     for i in range(d):
-        e = shard_edges[i]
-        r = row[e] - i * rps
+        e = loc_parts[i]
+        r = (row[e] - i * rps)
+        order = np.argsort(r, kind="stable")
+        n = len(e)
+        row_loc[i, :n] = r[order]
+        col_loc[i, :n] = (col[e] - i * rps)[order]
+        val_loc[i, :n] = value[e][order]
+
+        e = halo_parts[i]
+        r = (row[e] - i * rps)
         c = col[e]
-        v = value[e]
-        # remap columns into [local | halo] space
-        c_new = np.empty_like(c)
         own = c // rps
-        local_mask = own == i
-        c_new[local_mask] = c[local_mask] - i * rps
+        c_new = np.empty_like(c)
         for s in range(d):
             if s == i:
                 continue
@@ -153,12 +183,12 @@ def partition_rows(
                 continue
             lst = recv_lists[i][s]
             pos = np.searchsorted(lst, c[m])
-            c_new[m] = rps + s * halo + pos
+            c_new[m] = s * halo + pos
         order = np.argsort(r, kind="stable")
         n = len(e)
-        rows_s[i, :n] = r[order]
-        cols_s[i, :n] = c_new[order]
-        vals_s[i, :n] = v[order]
+        row_halo[i, :n] = r[order]
+        col_halo[i, :n] = c_new[order]
+        val_halo[i, :n] = value[e][order]
 
     # sender side: shard s sends, to receiver i, exactly recv_lists[i][s]
     # (in the same sorted order), as s-local row ids
@@ -169,10 +199,20 @@ def partition_rows(
             lst = recv_lists[i][s]
             send_ids[s, i, : len(lst)] = (lst - s * rps).astype(np.int32)
 
+    if verbose:
+        import sys
+        print(f"[isplib_tpu.dist] partition: {d} shards, rps={rps}, "
+              f"halo={halo}/pair, local_edges={n_loc} "
+              f"halo_edges={n_halo} ({100 * n_halo / max(nnz, 1):.1f}%)",
+              file=sys.stderr)
+
     return ShardedGraph(
-        row=jnp.asarray(rows_s),
-        col=jnp.asarray(cols_s),
-        value=jnp.asarray(vals_s),
+        row_loc=jnp.asarray(row_loc),
+        col_loc=jnp.asarray(col_loc),
+        val_loc=jnp.asarray(val_loc),
+        row_halo=jnp.asarray(row_halo),
+        col_halo=jnp.asarray(col_halo),
+        val_halo=jnp.asarray(val_halo),
         deg=jnp.asarray(deg_s),
         send_ids=jnp.asarray(send_ids),
         num_rows=num_rows,
@@ -180,4 +220,6 @@ def partition_rows(
         halo=halo,
         num_shards=d,
         nnz=nnz,
+        local_edges=n_loc,
+        halo_edges=n_halo,
     )

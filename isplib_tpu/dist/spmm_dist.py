@@ -62,21 +62,43 @@ def unpad_output(sg: ShardedGraph, out: jax.Array) -> jax.Array:
     return out[: sg.num_rows]
 
 
-def _local_spmm(row, col, value, deg, send_ids, x_loc, *, reduce, axis_name,
-                rps, halo, d):
+def _local_spmm(row_loc, col_loc, val_loc, row_halo, col_halo, val_halo,
+                deg, send_ids, x_loc, *, reduce, axis_name, rps, halo, d):
     # squeeze the per-device leading shard dim
-    row, col, value = row[0], col[0], value[0]
+    row_loc, col_loc, val_loc = row_loc[0], col_loc[0], val_loc[0]
+    row_halo, col_halo, val_halo = row_halo[0], col_halo[0], val_halo[0]
     deg, send_ids = deg[0], send_ids[0]
 
-    # boundary gather (pad ids == rps clip to the last row; those halo
-    # slots are never addressed by any remapped column)
-    send = jnp.take(x_loc, send_ids, axis=0)          # (D, H, K)
+    # 1. launch the boundary exchange (pad ids == rps hit the phantom row)
+    send = jnp.take(_pad1(x_loc), send_ids, axis=0)   # (D, H, K)
     halo_feats = jax.lax.all_to_all(
         send, axis_name, split_axis=0, concat_axis=0, tiled=True)
-    x_cat = jnp.concatenate(
-        [x_loc, halo_feats.reshape(d * halo, x_loc.shape[-1])], axis=0)
+    halo_feats = halo_feats.reshape(d * halo, x_loc.shape[-1])
 
-    return xla_backend.spmm_raw(row, col, value, deg, x_cat, rps, reduce)
+    # 2. local-only aggregation — independent of the collective, so XLA's
+    #    latency-hiding scheduler runs it while the all_to_all flies
+    # 3. halo aggregation once the exchange lands, then combine
+    if reduce in (Reduce.SUM, Reduce.MEAN):
+        out = xla_backend.spmm_raw(row_loc, col_loc, val_loc, deg, x_loc,
+                                   rps, Reduce.SUM)
+        out = out + xla_backend.spmm_raw(row_halo, col_halo, val_halo, deg,
+                                         halo_feats, rps, Reduce.SUM)
+        if reduce is Reduce.MEAN:
+            out = out / jnp.maximum(deg, 1.0)[:, None].astype(out.dtype)
+        return out
+
+    # max/min: combine partial aggregates at the reduction identity, then
+    # clamp empty rows to 0 (PyG semantics) using the global degree
+    a = xla_backend.spmm_raw(row_loc, col_loc, val_loc, deg, x_loc,
+                             rps, reduce, empty_to_zero=False)
+    b = xla_backend.spmm_raw(row_halo, col_halo, val_halo, deg, halo_feats,
+                             rps, reduce, empty_to_zero=False)
+    out = jnp.maximum(a, b) if reduce is Reduce.MAX else jnp.minimum(a, b)
+    return jnp.where((deg > 0)[:, None], out, jnp.zeros_like(out))
+
+
+def _pad1(x: jax.Array) -> jax.Array:
+    return jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)], axis=0)
 
 
 def spmm_sharded(
@@ -100,12 +122,13 @@ def spmm_sharded(
         partial(_local_spmm, reduce=reduce, axis_name=axis_name,
                 rps=sg.rows_per_shard, halo=sg.halo, d=sg.num_shards),
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-                  P(axis_name), P(axis_name)),
+        in_specs=(P(axis_name),) * 9,
         out_specs=P(axis_name),
         check_vma=False,
     )
-    out = fn(sg.row, sg.col, sg.value, sg.deg, sg.send_ids, x)
+    out = fn(sg.row_loc, sg.col_loc, sg.val_loc,
+             sg.row_halo, sg.col_halo, sg.val_halo,
+             sg.deg, sg.send_ids, x)
     return unpad_output(sg, out)
 
 

@@ -220,6 +220,10 @@ def _run_plan(plan, x: jax.Array) -> jax.Array:
     """Dispatch a sum-reduce plan to its kernel (v1 row-block grid or v2
     column-major streaming — see isplib_tpu.sparse.tiling_v2)."""
     from ..sparse.tiling_v2 import TiledPlanV2
+    from ..sparse.tiling_v3 import HybridPlanV3
+    if isinstance(plan, HybridPlanV3):
+        from .spmm_bsr import spmm_hybrid
+        return spmm_hybrid(plan, x)
     if isinstance(plan, TiledPlanV2):
         from .spmm_pallas_v2 import spmm_tiled_v2
         return spmm_tiled_v2(plan, x)
@@ -230,10 +234,15 @@ def spmm_forward(graph: TiledGraph, x: jax.Array, reduce: Reduce):
     """Forward SpMM for the pallas backend (dispatcher entry point)."""
     reduce = Reduce.of(reduce)
     base = base_graph(graph)
-    if not isinstance(graph, TiledGraph) or reduce in (Reduce.MAX,
-                                                       Reduce.MIN):
-        # max/min carry data-dependent arg state — stays on the XLA path
-        # until the dedicated kernel lands.
+    if reduce in (Reduce.MAX, Reduce.MIN):
+        if isinstance(graph, TiledGraph) and graph.fwd_arg is not None:
+            from .spmm_minmax import spmm_minmax_tiled
+            out, _ = spmm_minmax_tiled(graph.fwd_arg, x, reduce.value,
+                                       base.nnz_padded - 1)
+            return out.astype(x.dtype)
+        return xla_backend.spmm_raw(base.row, base.col, base.value,
+                                    base.deg, x, base.num_rows, reduce)
+    if not isinstance(graph, TiledGraph):
         return xla_backend.spmm_raw(base.row, base.col, base.value,
                                     base.deg, x, base.num_rows, reduce)
     out = _run_plan(graph.fwd, x)

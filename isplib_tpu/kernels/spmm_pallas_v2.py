@@ -58,6 +58,12 @@ def _gather_x(x, cols, k_pad: int, ct: int, eb: int):
     for eg in range(eb // _LANE):
         cols_g = cols[eg]                                      # (128,)
         idx = jnp.broadcast_to(cols_g[None, :], (k_pad, _LANE))
+        if ct == _LANE:
+            # single source group: indices are already in range — one
+            # dynamic_gather, no select chain (the ct>128 general case
+            # costs ct/128 gathers + selects per group).
+            outs.append(jnp.take_along_axis(x, idx, axis=1))
+            continue
         g = jnp.zeros((k_pad, _LANE), x.dtype)
         for cg in range(ct // _LANE):
             src = x[:, cg * _LANE:(cg + 1) * _LANE]            # (k_pad, 128)
@@ -185,7 +191,8 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
             (nrb_s, kt, rb), lambda s, kk, c, cs, rbl: (s, kk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, sub, _LANE), jnp.int32),          # edge planes
+            # plane count follows the plan (3, or 4 when built with_eids)
+            pltpu.VMEM((2, plan.edges.shape[1], sub, _LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

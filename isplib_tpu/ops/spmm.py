@@ -96,10 +96,19 @@ def _spmm_fwd(graph, x: jax.Array, reduce: str, backend: str):
     r = Reduce.of(reduce)
     if r in (Reduce.MAX, Reduce.MIN):
         base = base_graph(graph)
-        out, arg = xla_backend.spmm_arg_raw(
-            base.row, base.col, base.value, base.deg, x,
-            base.num_rows, r,
-        )
+        if (backend == "pallas" and isinstance(graph, TiledGraph)
+                and graph.fwd_arg is not None):
+            # in-kernel max/min with arg outputs (ref parity:
+            # /root/reference/csrc/fusedmm.cpp:397-407)
+            from ..kernels.spmm_minmax import spmm_minmax_tiled
+            out, arg = spmm_minmax_tiled(
+                graph.fwd_arg, x, r.value, base.nnz_padded - 1)
+            out = out.astype(x.dtype)
+        else:
+            out, arg = xla_backend.spmm_arg_raw(
+                base.row, base.col, base.value, base.deg, x,
+                base.num_rows, r,
+            )
         return out, (graph, x, arg)
     out = _forward(graph, x, r, backend)
     return out, (graph, x, None)

@@ -54,8 +54,14 @@ def spmm_raw(
     x: jax.Array,
     num_rows: int,
     reduce: Reduce,
+    empty_to_zero: bool = True,
 ) -> jax.Array:
-    """SpMM forward on raw padded COO arrays (CSR-sorted rows)."""
+    """SpMM forward on raw padded COO arrays (CSR-sorted rows).
+
+    ``empty_to_zero=False`` keeps the ±inf reduction identity on empty
+    rows for max/min — used by the distributed path to combine partial
+    local/halo aggregates before the final clamp.
+    """
     reduce = Reduce.of(reduce)
     msg = gather_rows(x, col)  # (E, K)
     num_segments = num_rows + 1  # + dump row for pad edges
@@ -75,6 +81,8 @@ def spmm_raw(
     else:
         out = jax.ops.segment_min(contrib, row, num_segments=num_segments,
                                   indices_are_sorted=True)[:num_rows]
+    if not empty_to_zero:
+        return out
     # Empty rows: segment_max identity is -inf; clamp to 0 (PyG semantics).
     return jnp.where((deg > 0)[:, None], out, jnp.zeros_like(out))
 

@@ -113,13 +113,17 @@ class TiledGraph:
     graph (for grad_x = SpMM(Aᵀ, g)), or ``None`` when built with
     ``build_backward=False`` — the backward then falls back to the XLA
     path (never the forward plan, which would silently compute
-    SpMM(A, g) instead of SpMM(Aᵀ, g)).  Layers and ``spmm()`` accept
-    this anywhere a CSRGraph is accepted.
+    SpMM(A, g) instead of SpMM(Aᵀ, g)).  ``fwd_arg`` is an optional
+    v2-with-eids plan for the max/min arg kernel
+    (:mod:`isplib_tpu.kernels.spmm_minmax`) — without it max/min reduce
+    on the XLA path.  Layers and ``spmm()`` accept this anywhere a
+    CSRGraph is accepted.
     """
 
     graph: CSRGraph
     fwd: TiledPlan
     bwd: Optional[TiledPlan]
+    fwd_arg: Optional[object] = None
 
     # Mirror CSRGraph's static interface so call sites don't care.
     @property
@@ -259,6 +263,8 @@ def build_tiling_from_numpy(
     build_backward: bool = True,
     version: int = 2,
     k: int = 32,
+    build_minmax: bool = False,
+    **plan_kwargs,
 ) -> TiledGraph:
     """Attach Pallas plans using host-side numpy graph arrays.
 
@@ -266,21 +272,27 @@ def build_tiling_from_numpy(
     CSC forms).  This is the fast path: no device→host readback (which is
     catastrophically slow through this environment's TPU tunnel).
 
-    ``version``: 2 (default) = column-major streaming plan
-    (:mod:`isplib_tpu.sparse.tiling_v2`); 1 = row-block-grid plan.
+    ``version``: 3 = hybrid BSR+edge plan (``tiling_v3``); 2 (default) =
+    column-major streaming plan (:mod:`isplib_tpu.sparse.tiling_v2`);
+    1 = row-block-grid plan.
     ``k``: expected feature width — sizes the VMEM-resident output
     superblock of the v2 plan (wider K ⇒ fewer row blocks per superblock,
     plus a K-tile grid axis in the kernel; see ``tiling_v2``).
+    ``build_minmax``: also build the with-eids plan that runs
+    ``reduce='max'|'min'`` in-kernel with arg outputs.
     """
     nnz = graph.nnz
     row = arrays["row"][:nnz].astype(np.int64)
     col = arrays["col"][:nnz].astype(np.int64)
     val = arrays["value"][:nnz].astype(np.float32)
 
-    if version == 2:
+    import functools
+    if version == 3:
+        from .tiling_v3 import build_plan_v3_arrays
+        build = functools.partial(build_plan_v3_arrays, k=k, **plan_kwargs)
+    elif version == 2:
         from .tiling_v2 import build_plan_v2_arrays
-        import functools
-        build = functools.partial(build_plan_v2_arrays, k=k)
+        build = functools.partial(build_plan_v2_arrays, k=k, **plan_kwargs)
     else:
         build = _build_plan_arrays
 
@@ -293,7 +305,16 @@ def build_tiling_from_numpy(
                     rb, ct, eb)
     else:
         bwd = None  # backward falls back to the XLA transpose path
-    return TiledGraph(graph=graph, fwd=fwd, bwd=bwd)
+    fwd_arg = None
+    if build_minmax:
+        from .tiling_v2 import build_plan_v2_arrays
+        # 3 VMEM-resident output planes (value, slot, chunk) share the
+        # superblock budget → a third of the sum plan's allotment.
+        fwd_arg = build_plan_v2_arrays(
+            row, col, val, graph.num_rows, graph.num_cols,
+            rb=rb, ct=ct, eb=eb, k=k, with_eids=True,
+            vmem_out_bytes=2 << 20)
+    return TiledGraph(graph=graph, fwd=fwd, bwd=bwd, fwd_arg=fwd_arg)
 
 
 # auto_tile memo: one TiledGraph per (graph identity, kt bucket) — repeated
@@ -335,12 +356,19 @@ def auto_tile(graph, k: int = 32):
         return graph
 
     from ..tune import autotune
-    cfg = dict(rb=256, ct=512, eb=512, version=2)
+    # r2-measured default: hybrid BSR (densify blocks ≥64 edges, 32-block
+    # DMA groups) + v2 edge residual — 6.9 Ge/s vs 1.6 for pure v2 on the
+    # reddit-sim bench graph.
+    cfg = dict(rb=256, ct=128, eb=512, version=3,
+               dense_threshold=64, g=32)
     try:
         entry = autotune.lookup(autotune.signature_of(graph, k))
         if entry and entry.get("backend") == "pallas":
             cfg = {f: entry[f] for f in ("rb", "ct", "eb")}
             cfg["version"] = entry.get("version", 2)
+            for f in ("dense_threshold", "g"):
+                if f in entry:
+                    cfg[f] = entry[f]
         elif entry and entry.get("backend") == "xla":
             return graph  # measured: XLA wins on this graph
     except Exception:
@@ -371,6 +399,7 @@ def build_tiling(
     build_backward: bool = True,
     version: int = 2,
     k: int = 32,
+    build_minmax: bool = False,
 ) -> TiledGraph:
     """Attach Pallas execution plans to an existing device graph.
 
@@ -390,4 +419,5 @@ def build_tiling(
     del nnz_padded
     return build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
                                    build_backward=build_backward,
-                                   version=version, k=k)
+                                   version=version, k=k,
+                                   build_minmax=build_minmax)

@@ -62,6 +62,10 @@ class TiledPlanV2:
     rb_locals: jax.Array
     cell_starts: jax.Array
     rb: int = dataclasses.field(metadata=dict(static=True))
+    # NOTE: when built with ``with_eids=True`` the edges array carries a
+    # 4th plane: the ORIGINAL (padded-CSR) edge id per slot, -1 on pad
+    # slots.  Required by the max/min arg kernel
+    # (:mod:`isplib_tpu.kernels.spmm_minmax`).
     ct: int = dataclasses.field(metadata=dict(static=True))
     eb: int = dataclasses.field(metadata=dict(static=True))
     nc: int = dataclasses.field(metadata=dict(static=True))
@@ -102,6 +106,7 @@ def build_plan_v2_arrays(
     rb: int = 256, ct: int = 512, eb: int = 512,
     k: int = 32,
     vmem_out_bytes: int = 6 << 20,
+    with_eids: bool = False,
 ) -> TiledPlanV2:
     """Build the v2 plan from host COO arrays (CSR-sorted or not).
 
@@ -110,6 +115,11 @@ def build_plan_v2_arrays(
     ``kt = min(k_pad, 256)`` (a K grid axis in the kernel) and
     ``nrb_s = vmem_out_bytes / (kt·rb·4)``.  This replaces the r1
     K-agnostic ``vmem_rows_budget`` that blew VMEM at reddit's K=602.
+
+    ``with_eids``: add a 4th edge plane carrying the original edge index
+    of each slot (-1 on pads) — required by the max/min arg kernel.
+    NOTE: arg tie-breaking matches the oracle (lowest edge id) only for
+    (row, col)-sorted input, the :class:`CSRGraph` default.
     """
     assert eb % _LANE == 0 and rb % _LANE == 0 and ct % _LANE == 0, \
         "rb/ct/eb must be multiples of 128"
@@ -121,16 +131,18 @@ def build_plan_v2_arrays(
     nrb_s = max(1, min(nrb, vmem_out_bytes // (kt * rb * 4)))
     n_super = _cdiv(nrb, nrb_s)
 
+    n_planes = 4 if with_eids else 3
     if nnz == 0:
         return TiledPlanV2(
-            edges=jnp.zeros((1, 3, eb // _LANE, _LANE), jnp.int32),
+            edges=jnp.zeros((1, n_planes, eb // _LANE, _LANE), jnp.int32),
             rb_locals=jnp.zeros((1,), jnp.int32),
             cell_starts=jnp.zeros((n_super * nct + 1,), jnp.int32),
             rb=rb, ct=ct, eb=eb, nc=1, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols, fill=0.0, kt=kt)
 
     from .. import native
-    if (native.available() and getattr(native, "has_plan_v2", lambda: 0)()
+    if (not with_eids and native.available()
+            and getattr(native, "has_plan_v2", lambda: 0)()
             and bool(np.all(row[1:] >= row[:-1]))):
         # linear-time OpenMP path (requires row-sorted input — the cheap
         # sortedness check guards callers that pass raw COO)
@@ -150,7 +162,7 @@ def build_plan_v2_arrays(
     rbid = row // rb
     ctid = col // ct
     sid = rbid // nrb_s
-    order = np.lexsort((row, rbid, ctid, sid))
+    order = np.lexsort((row, rbid, ctid, sid))  # stable: eid order kept
     row, col, val = row[order], col[order], val[order]
     rbid, ctid, sid = rbid[order], ctid[order], sid[order]
 
@@ -186,10 +198,14 @@ def build_plan_v2_arrays(
     cell_starts[1:] = np.cumsum(counts)
 
     sub = eb // _LANE
-    edges = np.empty((nc, 3, sub, _LANE), np.int32)
+    edges = np.empty((nc, n_planes, sub, _LANE), np.int32)
     edges[:, 0] = local_cols.reshape(nc, sub, _LANE)
     edges[:, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
     edges[:, 2] = local_rows.reshape(nc, sub, _LANE)
+    if with_eids:
+        eids_arr = np.full((nc, eb), -1, np.int32)
+        eids_arr[chunk_id, slot] = order.astype(np.int32)
+        edges[:, 3] = eids_arr.reshape(nc, sub, _LANE)
 
     return TiledPlanV2(
         edges=jnp.asarray(edges),

@@ -1,0 +1,239 @@
+"""Hybrid BSR + edge-streaming SpMM plan (v3).
+
+The v2 edge-streaming kernel pays ~2·K·rb one-hot-matmul FLOPs *per edge*
+(the scatter one-hot burns an MXU pass per 128 edges) plus a VPU gather.
+On dense-ish graph regions that is far from speed-of-light: a 128×128
+adjacency block holding ``n`` edges costs the edge path ``n·2·K·rb`` FLOPs
+but a *densified* block-matmul only ``2·128·128·K`` — fewer MXU cycles
+whenever ``n ≳ 128``, with **zero** gather/scatter work and full
+MXU-friendly shapes.
+
+The v3 plan therefore splits the adjacency per 128×128 block:
+
+* blocks with ``≥ dense_threshold`` edges are **densified** into bf16
+  (col-local, row-local) tiles consumed by a pure block-matmul kernel
+  (:func:`isplib_tpu.kernels.spmm_bsr.spmm_bsr`),
+* the residual edges go through the v2 edge-streaming plan.
+
+Both halves produce (rows, K) partials that add.  This mirrors how the
+reference's FusedMM autotuner picks register-blocked kernel variants per
+graph at build time (``/root/reference/configure``,
+``autotuner/findbestk.py``) — except the decision here is per-block and
+data-driven rather than per-binary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+
+from .tiling_v2 import TiledPlanV2, build_plan_v2_arrays
+
+__all__ = ["BSRPlan", "HybridPlanV3", "build_plan_v3_arrays"]
+
+_BS = 128  # dense block edge (MXU tile)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _cdiv_arr(a: np.ndarray, b: int) -> np.ndarray:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSRPlan:
+    """Dense 128×128 adjacency blocks in (superblock, block-col)-major order,
+    packed in groups of ``g`` per DMA/matmul step.
+
+    ``blocks``: (nb // g, 128, g·128) bf16 — group ``b``, member ``j``
+    stores Aᵀ locally at lane band ``j``:
+    ``blocks[b, c_local, j·128 + r_local] = A[row, col]``.  The kernel
+    computes ``(kt, g·128) = xᵀ_tile(kt, 128) · blocks[b]`` — one DMA and
+    one (wide) matmul cover g blocks, amortizing the ~0.3 µs/iteration
+    DMA-issue + scalar overhead that dominated the ungrouped kernel
+    (measured r2 sweep: 0.35 µs/block ≫ the 136 ns MXU cost).
+    ``rb_locals``: (nb,) int32 — block-row index within the superblock
+    (group ``b`` member ``j`` is entry ``b·g + j``; group-padding entries
+    are all-zero blocks targeting row-block 0, inert under +=).
+    ``cell_starts``: (n_super·n_bc + 1,) int32 — *group* range per
+    (superblock, block-col) grid cell.
+    """
+
+    blocks: jax.Array
+    rb_locals: jax.Array
+    cell_starts: jax.Array
+    nb: int = dataclasses.field(metadata=dict(static=True))  # incl. padding
+    nrb_s: int = dataclasses.field(metadata=dict(static=True))
+    n_super: int = dataclasses.field(metadata=dict(static=True))
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    kt: int = dataclasses.field(default=256, metadata=dict(static=True))
+    g: int = dataclasses.field(default=8, metadata=dict(static=True))
+
+    @property
+    def n_bc(self) -> int:
+        return _cdiv(self.num_cols, _BS)
+
+    @property
+    def n_br(self) -> int:
+        return _cdiv(self.num_rows, _BS)
+
+    @property
+    def r_padded(self) -> int:
+        return self.n_super * self.nrb_s * _BS
+
+    @property
+    def c_padded(self) -> int:
+        return self.n_bc * _BS
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridPlanV3:
+    """BSR dense half + v2 edge-streaming residual half (either optional)."""
+
+    bsr: Optional[BSRPlan]
+    residual: Optional[TiledPlanV2]
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    # diagnostics (static so they survive jit)
+    dense_edges: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+    sparse_edges: int = dataclasses.field(default=0,
+                                          metadata=dict(static=True))
+
+    @property
+    def nc(self) -> int:  # autotuner/bench diagnostic parity with v2
+        return (self.residual.nc if self.residual else 0) + \
+            (self.bsr.nb if self.bsr else 0)
+
+    @property
+    def fill(self) -> float:
+        if self.residual is None:
+            return 1.0
+        return self.residual.fill
+
+    @property
+    def fill_fraction(self) -> float:
+        return self.fill
+
+
+def build_plan_v3_arrays(
+    row: np.ndarray, col: np.ndarray, val: np.ndarray,
+    num_rows: int, num_cols: int,
+    rb: int = 128, ct: int = 128, eb: int = 512,
+    k: int = 32,
+    dense_threshold: int = 96,
+    vmem_out_bytes: int = 6 << 20,
+    max_block_bytes: int = 2 << 30,
+    g: int = 8,
+) -> HybridPlanV3:
+    """Build the hybrid plan from host COO arrays.
+
+    ``dense_threshold``: min edges for a 128×128 block to be densified
+    (the MXU-cycle crossover is ~100 edges at rb=128; autotunable).
+    ``max_block_bytes`` caps the densified HBM footprint — beyond it the
+    threshold is raised so only the densest blocks densify.
+    ``g``: blocks per DMA/matmul group (see :class:`BSRPlan`).
+    """
+    nnz = int(row.shape[0])
+    row = row.astype(np.int64)
+    col = col.astype(np.int64)
+    n_br = _cdiv(num_rows, _BS)
+    n_bc = _cdiv(num_cols, _BS)
+
+    k_pad = ((max(k, 1) + 31) // 32) * 32
+    kt = min(k_pad, 256)
+    nrb_s = max(1, min(n_br, vmem_out_bytes // (kt * _BS * 4)))
+    n_super = _cdiv(n_br, nrb_s)
+
+    bsr = None
+    res_row, res_col, res_val = row, col, val
+    dense_edges = 0
+    if nnz:
+        bid = (row // _BS) * n_bc + (col // _BS)
+        counts = np.bincount(bid, minlength=n_br * n_bc)
+        thr = max(dense_threshold, 1)
+        # Respect the HBM cap: raise the threshold until the densified
+        # footprint fits (each block = 32 KiB bf16).
+        while True:
+            nb = int(np.count_nonzero(counts >= thr))
+            if nb * _BS * _BS * 2 <= max_block_bytes or nb == 0:
+                break
+            thr *= 2
+        dense_b = counts >= thr
+        is_dense = dense_b[bid]
+        dense_edges = int(np.count_nonzero(is_dense))
+        if dense_edges:
+            d_row = row[is_dense]
+            d_col = col[is_dense]
+            d_val = val[is_dense].astype(np.float64)
+            dense_bids = np.flatnonzero(dense_b)
+            br = dense_bids // n_bc
+            bc = dense_bids % n_bc
+            sid = br // nrb_s
+            order = np.lexsort((br, bc, sid))
+            dense_bids = dense_bids[order]
+            br, bc, sid = br[order], bc[order], sid[order]
+            nb_real = dense_bids.shape[0]
+
+            # Pad each (superblock, block-col) cell to a multiple of g with
+            # all-zero blocks (rbl 0, inert) so every DMA group is full.
+            cell = sid * n_bc + bc  # ascending by construction
+            n_cells = n_super * n_bc
+            cnt = np.bincount(cell, minlength=n_cells)
+            cnt_g = _cdiv_arr(cnt, g) * g
+            starts = np.zeros(n_cells + 1, np.int64)
+            starts[1:] = np.cumsum(cnt)
+            starts_g = np.zeros(n_cells + 1, np.int64)
+            starts_g[1:] = np.cumsum(cnt_g)
+            pos_in_cell = np.arange(nb_real) - starts[cell]
+            new_pos = starts_g[cell] + pos_in_cell
+            nb = int(starts_g[-1])
+
+            rank = np.full(n_br * n_bc, -1, np.int64)
+            rank[dense_bids] = new_pos
+            # bincount-accumulate (duplicate edges must add, and bincount
+            # is ~50x faster than np.add.at on this shape)
+            flat_idx = (rank[bid[is_dense]] * (_BS * _BS)
+                        + (d_col % _BS) * _BS + (d_row % _BS))
+            flat = np.bincount(flat_idx, weights=d_val,
+                               minlength=nb * _BS * _BS)
+            blocks = flat.astype(ml_dtypes.bfloat16).reshape(nb, _BS, _BS)
+            # pack groups of g along lanes: (nb/g, c, g*128 + r)
+            blocks = (blocks.reshape(nb // g, g, _BS, _BS)
+                      .transpose(0, 2, 1, 3).reshape(nb // g, _BS, g * _BS))
+
+            rb_locals = np.zeros(nb, np.int32)
+            rb_locals[new_pos] = (br - sid * nrb_s).astype(np.int32)
+            cell_starts = (starts_g // g).astype(np.int32)
+            bsr = BSRPlan(
+                blocks=jnp.asarray(blocks),
+                rb_locals=jnp.asarray(rb_locals),
+                cell_starts=jnp.asarray(cell_starts),
+                nb=nb, nrb_s=nrb_s, n_super=n_super,
+                num_rows=num_rows, num_cols=num_cols, kt=kt, g=g)
+            keep = ~is_dense
+            res_row, res_col = row[keep], col[keep]
+            res_val = val[keep]
+
+    residual = None
+    if res_row.shape[0]:
+        residual = build_plan_v2_arrays(
+            res_row, res_col, res_val, num_rows, num_cols,
+            rb=rb, ct=ct, eb=eb, k=k, vmem_out_bytes=vmem_out_bytes)
+
+    return HybridPlanV3(
+        bsr=bsr, residual=residual,
+        num_rows=num_rows, num_cols=num_cols,
+        dense_edges=dense_edges,
+        sparse_edges=nnz - dense_edges,
+    )

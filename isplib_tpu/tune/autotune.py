@@ -75,17 +75,19 @@ def lookup(key: str) -> dict[str, Any] | None:
 
 
 DEFAULT_CONFIGS = [
-    # (rb, ct, eb, version) — multiples of 128, spanning the VPU-work vs
+    # dicts of build_tiling_from_numpy kwargs — spanning the VPU-work vs
     # chunk-padding tradeoff (analog of the reference's K sweep
     # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22).
-    # version 2 = column-major streaming kernel (usually fastest);
-    # version 1 = row-block grid kernel.
-    (128, 512, 512, 2),
-    (256, 512, 512, 2),
-    (256, 1024, 512, 2),
-    (512, 512, 1024, 2),
-    (256, 512, 512, 1),
-    (512, 512, 512, 1),
+    # version 3 = hybrid BSR + edge residual (fastest on dense-ish
+    # graphs); version 2 = column-major streaming; version 1 = row-block
+    # grid kernel.
+    dict(rb=256, ct=128, eb=512, version=3, dense_threshold=64, g=32),
+    dict(rb=256, ct=128, eb=512, version=3, dense_threshold=96, g=16),
+    dict(rb=256, ct=128, eb=512, version=3, dense_threshold=256, g=16),
+    dict(rb=256, ct=128, eb=512, version=2),
+    dict(rb=256, ct=512, eb=512, version=2),
+    dict(rb=512, ct=512, eb=2048, version=2),
+    dict(rb=256, ct=512, eb=512, version=1),
 ]
 
 
@@ -134,35 +136,35 @@ def tune_spmm(
 
     best_tiled = None
     for cfg in (configs or DEFAULT_CONFIGS):
-        rb, ct, eb = cfg[:3]
-        version = cfg[3] if len(cfg) > 3 else 2
+        if not isinstance(cfg, dict):  # legacy (rb, ct, eb[, version])
+            cfg = dict(zip(("rb", "ct", "eb", "version"), cfg))
+            cfg.setdefault("version", 2)
+        tag = " ".join(f"{f}={v}" for f, v in cfg.items())
         try:
-            tg = build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb,
-                                         build_backward=False,
-                                         version=version, k=k)
+            tg = build_tiling_from_numpy(graph, arrays,
+                                         build_backward=False, k=k, **cfg)
             jf = jax.jit(lambda x_, tg_: spmm(tg_, x_,
                                               backend="pallas") * 1e-3)
             f = lambda x_, tg_=tg: jf(x_, tg_)
             dt = chain_time(f, x, iters)
-            entry = dict(backend="pallas", rb=rb, ct=ct, eb=eb,
-                         version=version, seconds=dt,
-                         edges_per_s=graph.nnz / dt, fill=tg.fwd.fill)
+            entry = dict(backend="pallas", seconds=dt,
+                         edges_per_s=graph.nnz / dt, fill=tg.fwd.fill,
+                         **cfg)
             results.append(entry)
             if verbose:
-                print(f"[tune] pallas v{version} rb={rb} ct={ct} eb={eb} "
-                      f"fill={tg.fwd.fill:.2f}: {dt * 1e3:.2f} ms "
+                print(f"[tune] pallas {tag} fill={tg.fwd.fill:.2f}: "
+                      f"{dt * 1e3:.2f} ms "
                       f"({graph.nnz / dt / 1e9:.3f} Ge/s)")
         except Exception as ex:  # config may exceed VMEM etc.
             if verbose:
-                print(f"[tune] pallas v{version} rb={rb} ct={ct} eb={eb} "
-                      f"failed: {str(ex)[:120]}")
+                print(f"[tune] pallas {tag} failed: {str(ex)[:120]}")
 
     best = min(results, key=lambda r: r["seconds"])
     record(key, best)
     if best["backend"] == "pallas":
-        best_tiled = build_tiling_from_numpy(
-            graph, arrays, rb=best["rb"], ct=best["ct"], eb=best["eb"],
-            version=best.get("version", 2), k=k)
+        cfg = {f: best[f] for f in ("rb", "ct", "eb", "version",
+                                    "dense_threshold", "g") if f in best}
+        best_tiled = build_tiling_from_numpy(graph, arrays, k=k, **cfg)
     if verbose:
         print(f"[tune] best: {best}")
     return best, best_tiled
