@@ -62,6 +62,96 @@ def unpad_output(sg: ShardedGraph, out: jax.Array) -> jax.Array:
     return out[: sg.num_rows]
 
 
+def _zero_cot(tree):
+    """Cotangent pytree of zeros (float0 for int leaves)."""
+    def z(leaf):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+    return jax.tree_util.tree_map(z, tree)
+
+
+def _squeeze(tree):
+    return jax.tree_util.tree_map(lambda leaf: leaf[0], tree)
+
+
+def _tiled_body_fwd(plans, send_ids, x_loc, *, axis_name, halo, d):
+    """Per-shard SUM aggregation through the Pallas v2 kernels: halo
+    exchange, then local half over x_loc + halo half over the received
+    features (VERDICT r2 next #3 — the multi-chip path must not run at
+    segment-sum speed)."""
+    from ..kernels.spmm_pallas_v2 import spmm_tiled_v2
+    plans = _squeeze(plans)
+    send_ids = send_ids[0]
+    loc_fwd, _, halo_fwd, _ = plans
+
+    send = jnp.take(_pad1(x_loc), send_ids, axis=0)   # (D, H, K)
+    halo_feats = jax.lax.all_to_all(
+        send, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    halo_feats = halo_feats.reshape(d * halo, x_loc.shape[-1])
+    return (spmm_tiled_v2(loc_fwd, x_loc)
+            + spmm_tiled_v2(halo_fwd, halo_feats))
+
+
+def _tiled_body_bwd(plans, send_ids, g_loc, *, axis_name, halo, d,
+                    rps):
+    """Manual transpose of _tiled_body_fwd: transpose-SpMM via the
+    per-shard transpose plans, reverse all_to_all for the halo-feature
+    gradients, scatter-add back into the sender's rows."""
+    from ..kernels.spmm_pallas_v2 import spmm_tiled_v2
+    plans = _squeeze(plans)
+    send_ids = send_ids[0]
+    _, loc_bwd, _, halo_bwd = plans
+    k = g_loc.shape[-1]
+
+    gh = spmm_tiled_v2(halo_bwd, g_loc)               # (d*halo, K)
+    back = jax.lax.all_to_all(
+        gh.reshape(d, halo, k), axis_name, split_axis=0, concat_axis=0,
+        tiled=True)                                   # (D, halo, K)
+    gx = spmm_tiled_v2(loc_bwd, g_loc)                # (rps, K)
+    scat = jnp.zeros((rps + 1, k), gx.dtype)
+    scat = scat.at[send_ids.reshape(-1)].add(back.reshape(d * halo, k))
+    return gx + scat[:rps]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _spmm_sharded_tiled_sum(sg: "ShardedGraph", x: jax.Array, mesh,
+                            axis_name: str) -> jax.Array:
+    """SUM-reduce sharded SpMM through the tiled kernels.  Edge values
+    are baked into the plans and treated as AD constants (use the XLA
+    path, ``tiling=None``, for learnable edge weights when sharded)."""
+    fn = shard_map(
+        partial(_tiled_body_fwd, axis_name=axis_name, halo=sg.halo,
+                d=sg.num_shards),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return fn(sg.plans, sg.send_ids, x)
+
+
+def _sst_fwd(sg, x, mesh, axis_name):
+    return _spmm_sharded_tiled_sum(sg, x, mesh, axis_name), (sg, x[:0])
+
+
+def _sst_bwd(mesh, axis_name, res, g):
+    sg, xtok = res
+    fn = shard_map(
+        partial(_tiled_body_bwd, axis_name=axis_name, halo=sg.halo,
+                d=sg.num_shards, rps=sg.rows_per_shard),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    gx = fn(sg.plans, sg.send_ids, g).astype(xtok.dtype)
+    return _zero_cot(sg), gx
+
+
+_spmm_sharded_tiled_sum.defvjp(_sst_fwd, _sst_bwd)
+
+
 def _local_spmm(row_loc, col_loc, val_loc, row_halo, col_halo, val_halo,
                 deg, send_ids, x_loc, *, reduce, axis_name, rps, halo, d):
     # squeeze the per-device leading shard dim
@@ -79,10 +169,11 @@ def _local_spmm(row_loc, col_loc, val_loc, row_halo, col_halo, val_halo,
     #    latency-hiding scheduler runs it while the all_to_all flies
     # 3. halo aggregation once the exchange lands, then combine
     if reduce in (Reduce.SUM, Reduce.MEAN):
-        out = xla_backend.spmm_raw(row_loc, col_loc, val_loc, deg, x_loc,
-                                   rps, Reduce.SUM)
-        out = out + xla_backend.spmm_raw(row_halo, col_halo, val_halo, deg,
-                                         halo_feats, rps, Reduce.SUM)
+        out = xla_backend.spmm_raw(row_loc, col_loc, val_loc, deg,
+                                   x_loc, rps, Reduce.SUM)
+        out = out + xla_backend.spmm_raw(row_halo, col_halo, val_halo,
+                                         deg, halo_feats, rps,
+                                         Reduce.SUM)
         if reduce is Reduce.MEAN:
             out = out / jnp.maximum(deg, 1.0)[:, None].astype(out.dtype)
         return out
@@ -117,6 +208,15 @@ def spmm_sharded(
         mesh = get_mesh(axis_name)
     reduce = Reduce.of(reduce)
     x = pad_features(sg, x)
+
+    # tiled route: sum/mean through the per-shard Pallas kernels (max/min
+    # have no tiled shard kernels yet and run the XLA combine regardless)
+    if sg.plans is not None and reduce in (Reduce.SUM, Reduce.MEAN):
+        out = _spmm_sharded_tiled_sum(sg, x, mesh, axis_name)
+        if reduce is Reduce.MEAN:
+            deg_flat = sg.deg.reshape(-1)
+            out = out / jnp.maximum(deg_flat, 1.0)[:, None].astype(out.dtype)
+        return unpad_output(sg, out)
 
     fn = shard_map(
         partial(_local_spmm, reduce=reduce, axis_name=axis_name,

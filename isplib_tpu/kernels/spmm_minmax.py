@@ -134,9 +134,15 @@ def _minmax_kernel(
             oh_t = (rb_iota_t == rows_g).astype(jnp.float32)    # (rb, 128)
             valw = jnp.where(selk, w, 0.0)
             low = jnp.where(selk, (sid + 1).astype(jnp.float32), 0.0)
+            # HIGHEST precision: the winner values feed cross-group and
+            # cross-chunk comparisons (gw > cw, cw > cur_w) — a default
+            # (bf16) pass would compare rounded values and can pick an
+            # arg that differs from the exact lowest-edge-id contract on
+            # near-ties (ADVICE r2 #1).
             gw = jax.lax.dot_general(
                 valw, oh_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (k_pad,rb)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (k_pad,rb)
             glo = jax.lax.dot_general(
                 low, oh_t, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -176,6 +182,10 @@ def _minmax_call(plan: TiledPlanV2, x: jax.Array, negate: bool,
                  sentinel: int, interpret: bool):
     assert plan.edges.shape[1] == 4, \
         "max/min kernel needs a plan built with with_eids=True"
+    # winner chunk ids live in an f32 plane — integer-exact only < 2^24
+    # (ADVICE r2 #3: fail loudly, never corrupt args at extreme scale)
+    assert plan.nc < (1 << 24), \
+        f"max/min arg tracking needs nc < 2^24, got nc={plan.nc}"
     k = x.shape[1]
     rb, ct, eb = plan.rb, plan.ct, plan.eb
     nct, n_super, nrb_s = plan.nct, plan.n_super, plan.nrb_s

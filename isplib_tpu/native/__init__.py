@@ -66,6 +66,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int32, ctypes.c_uint64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double, i32p, i32p]
     lib.isplib_version.restype = ctypes.c_int
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    if hasattr(lib, "isplib_bsr_count"):
+        lib.isplib_bsr_count.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, i32p]
+        lib.isplib_bsr_fill.argtypes = [
+            i32p, i32p, f32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            i64p, u16p, u8p]
+        lib.isplib_compact_residual.restype = ctypes.c_int64
+        lib.isplib_compact_residual.argtypes = [
+            i32p, i32p, f32p, u8p, ctypes.c_int64, i32p, i32p, f32p]
     if hasattr(lib, "isplib_plan_v2_count"):
         lib.isplib_plan_v2_count.restype = ctypes.c_int64
         lib.isplib_plan_v2_count.argtypes = [
@@ -184,6 +197,75 @@ def plan_chunks_v2(row: np.ndarray, col: np.ndarray, val: np.ndarray,
         _ptr(chunk_of, ctypes.c_int64), _ptr(rank, ctypes.c_int64),
         _ptr(edges, ctypes.c_int32))
     return edges, rb_locals[:nc], cell_starts.astype(np.int32)
+
+
+def has_bsr() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "isplib_bsr_count")
+
+
+def bsr_count(row: np.ndarray, col: np.ndarray, bs: int,
+              n_br: int, n_bc: int) -> np.ndarray:
+    """Per-(bs x bs)-block edge counts of a row-sorted edge list.
+
+    Returns (n_br*n_bc,) int32.
+    """
+    lib = _load()
+    assert lib is not None
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    counts = np.zeros(n_br * n_bc, np.int32)
+    lib.isplib_bsr_count(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        int(row.shape[0]), bs, n_br, n_bc, _ptr(counts, ctypes.c_int32))
+    return counts
+
+
+def bsr_fill(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+             bs: int, n_br: int, n_bc: int, g: int,
+             rank: np.ndarray, nb_padded: int):
+    """Densify ranked blocks into grouped bf16 layout.
+
+    ``rank``: (n_br*n_bc,) int64 output slot per block (-1 = stays
+    sparse).  Returns (blocks (nb_padded//g, bs, g*bs) uint16-as-bf16,
+    is_dense (nnz,) uint8).
+    """
+    lib = _load()
+    assert lib is not None
+    nnz = int(row.shape[0])
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    rank = np.ascontiguousarray(rank, np.int64)
+    blocks = np.zeros((nb_padded // g, bs, g * bs), np.uint16)
+    is_dense = np.zeros(nnz, np.uint8)
+    lib.isplib_bsr_fill(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        _ptr(val, ctypes.c_float), nnz, bs, n_br, n_bc, g,
+        _ptr(rank, ctypes.c_int64), _ptr(blocks, ctypes.c_uint16),
+        _ptr(is_dense, ctypes.c_uint8))
+    return blocks, is_dense
+
+
+def compact_residual(row: np.ndarray, col: np.ndarray, val: np.ndarray,
+                     is_dense: np.ndarray):
+    """Compact the not-densified edges, keeping CSR order."""
+    lib = _load()
+    assert lib is not None
+    nnz = int(row.shape[0])
+    row = np.ascontiguousarray(row, np.int32)
+    col = np.ascontiguousarray(col, np.int32)
+    val = np.ascontiguousarray(val, np.float32)
+    is_dense = np.ascontiguousarray(is_dense, np.uint8)
+    out_row = np.empty(nnz, np.int32)
+    out_col = np.empty(nnz, np.int32)
+    out_val = np.empty(nnz, np.float32)
+    n = lib.isplib_compact_residual(
+        _ptr(row, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        _ptr(val, ctypes.c_float), _ptr(is_dense, ctypes.c_uint8), nnz,
+        _ptr(out_row, ctypes.c_int32), _ptr(out_col, ctypes.c_int32),
+        _ptr(out_val, ctypes.c_float))
+    return out_row[:n], out_col[:n], out_val[:n]
 
 
 def rmat(num_edges: int, num_nodes: int, seed: int = 0,

@@ -125,7 +125,7 @@ def _spmm_bwd(reduce: str, backend: str, res, g):
         else:
             g_eff = g
         grad_x = _transpose_spmm(graph, g_eff, backend)
-        grad_value = xla_backend.sddmm_dot_raw(base.row, base.col, g_eff, x)
+        grad_value = _sddmm_grad_value(graph, base, g_eff, x, backend)
     else:
         # arg: (R, K) winning edge ids (sentinel = pad edge nnz_padded-1).
         num_cols, k = base.num_cols, x.shape[1]
@@ -159,6 +159,21 @@ def _spmm_bwd(reduce: str, backend: str, res, g):
     else:
         cot = dataclasses.replace(cot, value=grad_value)
     return cot, grad_x.astype(x.dtype)
+
+
+def _sddmm_grad_value(graph, base, g_eff: jax.Array, x: jax.Array,
+                      backend: str) -> jax.Array:
+    """grad_value = per-edge <g_eff[row], x[col]> (SDDMM).
+
+    Tiled graphs with a with-eids plan use the Pallas SDDMM kernel
+    (tile-streaming; VERDICT r2 next #6) instead of the XLA path's two
+    (E, K) gathers."""
+    if (backend == "pallas" and isinstance(graph, TiledGraph)
+            and graph.fwd_arg is not None
+            and graph.fwd_arg.edges.shape[1] == 4):
+        from ..kernels.sddmm_pallas import sddmm_tiled
+        return sddmm_tiled(graph.fwd_arg, g_eff, x, base.nnz_padded)
+    return xla_backend.sddmm_dot_raw(base.row, base.col, g_eff, x)
 
 
 _spmm.defvjp(_spmm_fwd, _spmm_bwd)
@@ -218,6 +233,49 @@ def _auto_route(graph, x: jax.Array):
     return graph, autotune.lookup_backend(graph, x)
 
 
+@jax.custom_vjp
+def _sddmm_op(graph, a: jax.Array, b: jax.Array) -> jax.Array:
+    base = base_graph(graph)
+    if (isinstance(graph, TiledGraph) and graph.fwd_arg is not None
+            and graph.fwd_arg.edges.shape[1] == 4):
+        # tile-streaming Pallas kernel (VERDICT r2 next #6)
+        from ..kernels.sddmm_pallas import sddmm_tiled
+        out = sddmm_tiled(graph.fwd_arg, a, b, base.nnz_padded)
+    else:
+        out = xla_backend.sddmm_dot_raw(base.row, base.col, a, b)
+    if base.nnz_padded > base.nnz:
+        mask = jnp.arange(base.nnz_padded) < base.nnz
+        out = jnp.where(mask, out, 0.0)
+    return out
+
+
+def _sddmm_op_fwd(graph, a, b):
+    return _sddmm_op(graph, a, b), (graph, a, b)
+
+
+def _sddmm_op_bwd(res, gbar):
+    """SDDMM transposes to two SpMMs with the cotangent as edge values:
+    grad_a[r] = Σ_{e: row=r} ḡ_e · b[col_e],  grad_b symmetrically via
+    the CSC view (the Pallas forward kernel has no AD, so the backward
+    is spelled out here; the XLA path would derive the same)."""
+    graph, a, b = res
+    base = base_graph(graph)
+    gbar = gbar.astype(jnp.float32)
+    if base.nnz_padded > base.nnz:
+        gbar = jnp.where(jnp.arange(base.nnz_padded) < base.nnz, gbar, 0.0)
+    grad_a = xla_backend.spmm_raw(
+        base.row, base.col, gbar, base.deg, b.astype(jnp.float32),
+        base.num_rows, Reduce.SUM)
+    grad_b = xla_backend.spmm_raw(
+        base.csc_row, base.csc_col, gbar[base.csc2csr], base.deg_t,
+        a.astype(jnp.float32), base.num_cols, Reduce.SUM)
+    return (_zero_graph_cotangent(graph), grad_a.astype(a.dtype),
+            grad_b.astype(b.dtype))
+
+
+_sddmm_op.defvjp(_sddmm_op_fwd, _sddmm_op_bwd)
+
+
 def sddmm(
     graph,
     a: jax.Array,
@@ -227,11 +285,7 @@ def sddmm(
 
     Returns a (nnz_padded,) vector in CSR edge order (pad entries 0);
     combine with ``graph.with_value`` for attention-style edge weights.
-    Differentiable via standard JAX AD.
+    Differentiable (custom VJP: the backward is two SpMMs).  Tiled
+    graphs carrying a with-eids plan run the Pallas SDDMM kernel.
     """
-    base = base_graph(graph)
-    out = xla_backend.sddmm_dot_raw(base.row, base.col, a, b)
-    if base.nnz_padded > base.nnz:
-        mask = jnp.arange(base.nnz_padded) < base.nnz
-        out = jnp.where(mask, out, 0.0)
-    return out
+    return _sddmm_op(graph, a, b)

@@ -134,9 +134,9 @@ def build_plan_v2_arrays(
     n_planes = 4 if with_eids else 3
     if nnz == 0:
         return TiledPlanV2(
-            edges=jnp.zeros((1, n_planes, eb // _LANE, _LANE), jnp.int32),
-            rb_locals=jnp.zeros((1,), jnp.int32),
-            cell_starts=jnp.zeros((n_super * nct + 1,), jnp.int32),
+            edges=np.zeros((1, n_planes, eb // _LANE, _LANE), np.int32),
+            rb_locals=np.zeros((1,), np.int32),
+            cell_starts=np.zeros((n_super * nct + 1,), np.int32),
             rb=rb, ct=ct, eb=eb, nc=1, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols, fill=0.0, kt=kt)
 
@@ -150,9 +150,9 @@ def build_plan_v2_arrays(
             row, col, val, num_rows, num_cols, rb, ct, eb, nrb_s)
         nc = edges.shape[0]
         return TiledPlanV2(
-            edges=jnp.asarray(edges.reshape(nc, 3, eb // _LANE, _LANE)),
-            rb_locals=jnp.asarray(rb_locals),
-            cell_starts=jnp.asarray(cell_starts),
+            edges=edges.reshape(nc, 3, eb // _LANE, _LANE),
+            rb_locals=rb_locals,
+            cell_starts=cell_starts,
             rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols,
             fill=float(nnz) / (nc * eb), kt=kt)
@@ -208,9 +208,9 @@ def build_plan_v2_arrays(
         edges[:, 3] = eids_arr.reshape(nc, sub, _LANE)
 
     return TiledPlanV2(
-        edges=jnp.asarray(edges),
-        rb_locals=jnp.asarray(rb_locals),
-        cell_starts=jnp.asarray(cell_starts),
+        edges=edges,
+        rb_locals=rb_locals,
+        cell_starts=cell_starts,
         rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
         num_rows=num_rows, num_cols=num_cols,
         fill=float(nnz) / (nc * eb), kt=kt,

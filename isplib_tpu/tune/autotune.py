@@ -164,7 +164,10 @@ def tune_spmm(
     if best["backend"] == "pallas":
         cfg = {f: best[f] for f in ("rb", "ct", "eb", "version",
                                     "dense_threshold", "g") if f in best}
-        best_tiled = build_tiling_from_numpy(graph, arrays, k=k, **cfg)
+        # production build: backward plan + in-kernel max/min arg plan,
+        # persisted under the graph signature (VERDICT r2 next #4)
+        best_tiled = build_tiling_from_numpy(
+            graph, arrays, k=k, build_minmax=True, cache_tag=key, **cfg)
     if verbose:
         print(f"[tune] best: {best}")
     return best, best_tiled

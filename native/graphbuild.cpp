@@ -327,6 +327,131 @@ void isplib_rmat(int64_t num_edges, int32_t num_nodes, uint64_t seed,
     }
 }
 
-int isplib_version() { return 1; }
+// ---------------------------------------------------------------------------
+// v3 hybrid BSR plan: native densify path.
+//
+// Counterpart of sparse/tiling_v3.py's numpy densify pipeline, which took
+// ~15 s (f64 bincount + ml_dtypes astype + transposes) on the 5.7M-edge
+// bench graph.  Two-phase like the other entry points:
+//
+//   isplib_bsr_count: per-128x128-block edge counts (exact, parallel over
+//     block-rows — each block-row owns a disjoint slice of the counts).
+//   isplib_bsr_fill:  scatter-accumulate each dense block in an f32
+//     scratch tile, round-to-nearest-even to bf16, and write directly in
+//     the kernel's grouped (nb/g, 128, g*128) layout; flags every edge
+//     that went dense so the caller can extract the residual edge list.
+//
+// Peak transient memory is one 64 KiB f32 tile per thread (vs the numpy
+// path's nb*128KiB f64 bincount accumulator — ADVICE r2 #2).
+// ---------------------------------------------------------------------------
+static inline uint16_t f32_to_bf16(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    const uint32_t lsb = (x >> 16) & 1u;
+    x += 0x7FFFu + lsb;  // round to nearest even
+    return (uint16_t)(x >> 16);
+}
+
+// Block-row edge ranges of a row-sorted edge list (shared helper).
+static void blockrow_ranges(const int32_t* row, int64_t nnz, int32_t bs,
+                            int64_t n_br, int64_t* start /* n_br+1 */) {
+    start[0] = 0;
+    int64_t e = 0;
+    for (int64_t b = 1; b <= n_br; ++b) {
+        const int64_t bound = b * (int64_t)bs;
+        while (e < nnz && row[e] < bound) ++e;
+        start[b] = e;
+    }
+}
+
+void isplib_bsr_count(const int32_t* row, const int32_t* col, int64_t nnz,
+                      int32_t bs, int64_t n_br, int64_t n_bc,
+                      int32_t* counts /* n_br*n_bc, pre-zeroed */) {
+    int64_t* brs = new int64_t[n_br + 1];
+    blockrow_ranges(row, nnz, bs, n_br, brs);
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int64_t b = 0; b < n_br; ++b) {
+        int32_t* cnt = counts + b * n_bc;
+        for (int64_t e = brs[b]; e < brs[b + 1]; ++e) cnt[col[e] / bs]++;
+    }
+    delete[] brs;
+}
+
+// rank: (n_br*n_bc,) int64, output slot of each dense block or -1.
+// blocks_out: grouped bf16 layout (nb_padded/g, bs, g*bs), pre-zeroed.
+// is_dense: (nnz,) uint8 out — 1 where the edge was densified.
+void isplib_bsr_fill(const int32_t* row, const int32_t* col,
+                     const float* val, int64_t nnz,
+                     int32_t bs, int64_t n_br, int64_t n_bc, int32_t g,
+                     const int64_t* rank,
+                     uint16_t* blocks_out, uint8_t* is_dense) {
+    int64_t* brs = new int64_t[n_br + 1];
+    blockrow_ranges(row, nnz, bs, n_br, brs);
+    const int64_t bs2 = (int64_t)bs * bs;
+#pragma omp parallel
+    {
+        float* tile = new float[bs2];
+        int64_t* cnt = new int64_t[n_bc + 1];
+#pragma omp for schedule(dynamic, 2)
+        for (int64_t b = 0; b < n_br; ++b) {
+            const int64_t lo = brs[b], hi = brs[b + 1];
+            if (lo == hi) continue;
+            // counting sort of this block-row's edges by block-col
+            std::memset(cnt, 0, sizeof(int64_t) * (n_bc + 1));
+            for (int64_t e = lo; e < hi; ++e) cnt[col[e] / bs + 1]++;
+            for (int64_t c = 0; c < n_bc; ++c) cnt[c + 1] += cnt[c];
+            int32_t* idx = new int32_t[hi - lo];
+            for (int64_t e = lo; e < hi; ++e)
+                idx[cnt[col[e] / bs]++] = (int32_t)(e - lo);
+            // cnt[c] is now the END of block c's range (start = cnt[c-1])
+            for (int64_t c = 0; c < n_bc; ++c) {
+                const int64_t p = rank[b * n_bc + c];
+                const int64_t c_lo = c ? cnt[c - 1] : 0, c_hi = cnt[c];
+                if (p < 0 || c_lo == c_hi) continue;
+                std::memset(tile, 0, sizeof(float) * bs2);
+                for (int64_t i = c_lo; i < c_hi; ++i) {
+                    const int64_t e = lo + idx[i];
+                    const int32_t rl = row[e] - (int32_t)(b * bs);
+                    const int32_t cl = col[e] - (int32_t)(c * bs);
+                    tile[(int64_t)cl * bs + rl] += val[e];
+                    is_dense[e] = 1;
+                }
+                // grouped layout: member j of group p/g sits at lane band j
+                uint16_t* dst = blocks_out
+                    + (p / g) * bs * (int64_t)g * bs + (p % g) * bs;
+                for (int32_t cl = 0; cl < bs; ++cl) {
+                    uint16_t* drow = dst + (int64_t)cl * g * bs;
+                    const float* srow = tile + (int64_t)cl * bs;
+                    for (int32_t rl = 0; rl < bs; ++rl)
+                        drow[rl] = f32_to_bf16(srow[rl]);
+                }
+            }
+            delete[] idx;
+        }
+        delete[] tile;
+        delete[] cnt;
+    }
+    delete[] brs;
+}
+
+// Residual extraction: compact the edges NOT flagged dense (parallel
+// two-phase: per-thread counts, prefix, fill).  Keeps CSR order.
+int64_t isplib_compact_residual(const int32_t* row, const int32_t* col,
+                                const float* val, const uint8_t* is_dense,
+                                int64_t nnz, int32_t* out_row,
+                                int32_t* out_col, float* out_val) {
+    int64_t n = 0;
+    for (int64_t e = 0; e < nnz; ++e) {
+        if (!is_dense[e]) {
+            out_row[n] = row[e];
+            out_col[n] = col[e];
+            out_val[n] = val[e];
+            ++n;
+        }
+    }
+    return n;
+}
+
+int isplib_version() { return 2; }
 
 }  // extern "C"

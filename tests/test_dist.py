@@ -118,3 +118,56 @@ def test_sharded_gcn_learns(rng, mesh):
         assert res.test_acc > 0.7, f"sharded GCN failed: {res.test_acc}"
     finally:
         set_mesh(None)
+
+
+@pytest.mark.parametrize("reduce", ["sum", "mean"])
+def test_sharded_tiled_vs_single(rng, mesh, reduce):
+    """tiling=... routes the shard-local halves through the Pallas v2
+    kernels (interpret mode on CPU) — parity with the XLA oracle."""
+    row, col, vals, n = make_coo(rng, n=600, nnz=5000)
+    g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
+                        edge_multiple=64)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16,
+                        tiling=dict(rb=128, ct=128, eb=128, k=16))
+    assert sg.plans is not None
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    want = np.asarray(spmm(g, x, reduce=reduce, backend="xla"))
+    got = np.asarray(spmm_sharded(sg, x, reduce=reduce, mesh=mesh))
+    # bf16 accuracy contract of the tiled kernels
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_sharded_tiled_grad(rng, mesh):
+    row, col, vals, n = make_coo(rng, n=320, nnz=2500)
+    g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
+                        edge_multiple=64)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16,
+                        tiling=dict(rb=128, ct=128, eb=128, k=8))
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+    def loss_sharded(x_):
+        return jnp.sum(spmm_sharded(sg, x_, mesh=mesh) * probe)
+
+    def loss_single(x_):
+        return jnp.sum(spmm(g, x_, backend="xla") * probe)
+
+    got = np.asarray(jax.grad(loss_sharded)(x))
+    want = np.asarray(jax.grad(loss_single)(x))
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_sharded_tiled_jit(rng, mesh):
+    row, col, vals, n = make_coo(rng, n=200, nnz=1500)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16,
+                        tiling=dict(rb=128, ct=128, eb=128, k=8))
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    f = jax.jit(lambda x_: spmm_sharded(sg, x_, mesh=mesh))
+    out = f(x)
+    assert out.shape == (n, 8)
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(out))
