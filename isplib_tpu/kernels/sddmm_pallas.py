@@ -165,13 +165,20 @@ def sddmm_tiled(plan: TiledPlanV2, a: jax.Array, b: jax.Array,
                 nnz_padded: int) -> jax.Array:
     """Per-edge ``<a[row[e]], b[col[e]]>`` in original CSR edge order.
 
-    Returns (nnz_padded,) f32; pad-slot dots are routed to the sentinel
-    pad edge ``nnz_padded - 1`` and zeroed (callers additionally mask
-    ≥ nnz, matching :func:`isplib_tpu.ops.spmm._spmm_bwd`).
+    Returns (nnz_padded,) f32 with zero pad slots.  Placement uses the
+    plan's precomputed edge-id→plan-slot gather (``eid_pos``) — a
+    random-index scatter would serialize on TPU (measured: minutes for
+    millions of updates).
     """
     assert plan.edges.shape[1] == 4, \
         "sddmm kernel needs a plan built with with_eids=True"
     dots = sddmm_dots_tiled(plan, a, b).reshape(-1)
+    if plan.eid_pos is not None:
+        vals = jnp.take(dots, plan.eid_pos)
+        out = jnp.zeros((nnz_padded,), jnp.float32)
+        return jax.lax.dynamic_update_slice(out, vals, (0,))
+    # legacy plans without eid_pos: scatter by edge id (fine in interpret/
+    # CPU runs, slow on real TPU)
     eids = plan.edges[:, 3].reshape(-1)
     tgt = jnp.where(eids >= 0, eids, nnz_padded - 1)
     out = jnp.zeros((nnz_padded,), jnp.float32).at[tgt].set(

@@ -37,6 +37,7 @@ __all__ = [
     "CSRGraph",
     "from_edge_index",
     "from_scipy",
+    "graph_from_host_arrays",
     "pad_to_multiple",
 ]
 
@@ -256,6 +257,51 @@ def register_host_arrays(graph, arrays: dict) -> None:
 def host_arrays(graph):
     """The numpy construction arrays of ``graph``, if still registered."""
     return _HOST_ARRAYS.get(id(graph))
+
+
+def _device_csc_impl(row, col, value):
+    """CSC view computed on device.  The input is CSR-ordered (sorted by
+    (row, col)), so ONE stable sort by column yields exactly the host
+    ``np.lexsort((row_p, col_p))`` order — same (col, row) ranking, same
+    tie-breaks for duplicate edges, pad edges (col == num_cols) at the
+    end — with no composite sort key to overflow."""
+    perm = jnp.argsort(col, stable=True).astype(jnp.int32)
+    return (jnp.take(col, perm), jnp.take(row, perm),
+            jnp.take(value, perm), perm)
+
+
+_device_csc = jax.jit(_device_csc_impl)
+
+
+def graph_from_host_arrays(arrays: dict, device_csc: bool = True,
+                           chunked: bool = True) -> "CSRGraph":
+    """CSRGraph from a ``_build_arrays`` dict, minimizing host→device
+    transfer: CSR edge arrays upload (chunked); the CSC view is
+    recomputed on device with one stable sort instead of shipping four
+    more edge-length arrays (~55% of the graph's bytes) through the
+    tunnel.  The host arrays are registered for later plan builds."""
+    from ..utils.transfer import chunked_device_put
+    put = chunked_device_put if chunked else jnp.asarray
+
+    arrays = dict(arrays)
+    for k in ("num_rows", "num_cols", "nnz"):
+        arrays[k] = int(arrays[k])
+    dev = {k: arrays[k] for k in ("num_rows", "num_cols", "nnz")}
+    for k in ("rowptr", "csc_colptr", "deg", "deg_t"):
+        dev[k] = put(arrays[k])
+    for k in ("row", "col", "value"):
+        dev[k] = put(arrays[k])
+    if device_csc:
+        csc_row, csc_col, csc_value, csc2csr = _device_csc(
+            dev["row"], dev["col"], dev["value"])
+        dev.update(csc_row=csc_row, csc_col=csc_col, csc_value=csc_value,
+                   csc2csr=csc2csr)
+    else:
+        for k in ("csc_row", "csc_col", "csc_value", "csc2csr"):
+            dev[k] = put(arrays[k])
+    graph = CSRGraph(**dev)
+    register_host_arrays(graph, arrays)
+    return graph
 
 
 def _to_device(arrays: dict) -> dict:

@@ -30,7 +30,7 @@ __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
 
 # Bump when the packed plan layout or the TiledPlan* dataclasses change
 # incompatibly — old cache entries are then simply missed, never misread.
-PLAN_FORMAT_VERSION = 3
+PLAN_FORMAT_VERSION = 4  # v4: deferred BSR blocks (rank), eid_pos
 
 
 def default_cache_dir() -> str:

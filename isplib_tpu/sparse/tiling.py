@@ -295,6 +295,13 @@ def build_tiling_from_numpy(
             f"{sorted(plan_kwargs)} — use version=2/3 for "
             f"dense_threshold/g/vmem_out_bytes")
 
+    # v3 BSR blocks are scattered on device from the resident edge arrays
+    # (deferred build) — they are ~30x the bytes of their edges, and this
+    # environment's host→device tunnel is the bench wall-time bottleneck.
+    if version == 3:
+        plan_kwargs.setdefault("defer_blocks", bool(device))
+    defer = bool(version == 3 and plan_kwargs.get("defer_blocks"))
+
     plans = None
     cache_path = None
     if cache_tag is not None:
@@ -352,6 +359,14 @@ def build_tiling_from_numpy(
     if device:
         from ..utils.transfer import tree_device_put
         plans = tree_device_put(plans)
+    if version == 3 and defer:
+        from .tiling_v3 import materialize_blocks_device
+        plans["fwd"] = materialize_blocks_device(
+            plans["fwd"], graph.row, graph.col, graph.value)
+        if plans["bwd"] is not None:
+            plans["bwd"] = materialize_blocks_device(
+                plans["bwd"], graph.csc_row, graph.csc_col,
+                graph.csc_value)
     return TiledGraph(graph=graph, fwd=plans["fwd"], bwd=plans["bwd"],
                       fwd_arg=plans["fwd_arg"])
 

@@ -26,6 +26,7 @@ The kernel consuming this plan is
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,11 @@ class TiledPlanV2:
     # so the (nrb_s, kt, rb) output block fits VMEM at any feature width
     # (reddit K=602, findbestk K=1024 — VERDICT r1 weak #3).
     kt: int = dataclasses.field(default=256, metadata=dict(static=True))
+    # with_eids plans only: (nnz,) int32, plan slot (chunk*eb + slot) of
+    # each ORIGINAL edge id — lets SDDMM consumers place plan-order
+    # results into CSR edge order with a gather (a random-index scatter
+    # would serialize on TPU).
+    eid_pos: Optional[jax.Array] = None
 
     @property
     def nct(self) -> int:
@@ -202,10 +208,15 @@ def build_plan_v2_arrays(
     edges[:, 0] = local_cols.reshape(nc, sub, _LANE)
     edges[:, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
     edges[:, 2] = local_rows.reshape(nc, sub, _LANE)
+    eid_pos = None
     if with_eids:
         eids_arr = np.full((nc, eb), -1, np.int32)
         eids_arr[chunk_id, slot] = order.astype(np.int32)
         edges[:, 3] = eids_arr.reshape(nc, sub, _LANE)
+        # inverse map: original edge id → plan slot (SDDMM writes back
+        # with a gather; a random scatter serializes on TPU)
+        eid_pos = np.empty(nnz, np.int32)
+        eid_pos[order] = (chunk_id * eb + slot).astype(np.int32)
 
     return TiledPlanV2(
         edges=edges,
@@ -213,5 +224,5 @@ def build_plan_v2_arrays(
         cell_starts=cell_starts,
         rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
         num_rows=num_rows, num_cols=num_cols,
-        fill=float(nnz) / (nc * eb), kt=kt,
+        fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos,
     )

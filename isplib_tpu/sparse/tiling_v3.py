@@ -60,14 +60,22 @@ class BSRPlan:
     one (wide) matmul cover g blocks, amortizing the ~0.3 µs/iteration
     DMA-issue + scalar overhead that dominated the ungrouped kernel
     (measured r2 sweep: 0.35 µs/block ≫ the 136 ns MXU cost).
-    ``rb_locals``: (nb,) int32 — block-row index within the superblock
+    ``rb_locals``: (nb,) int32 — row-block index within the superblock
     (group ``b`` member ``j`` is entry ``b·g + j``; group-padding entries
     are all-zero blocks targeting row-block 0, inert under +=).
     ``cell_starts``: (n_super·n_bc + 1,) int32 — *group* range per
     (superblock, block-col) grid cell.
+
+    ``blocks`` may be ``None`` in a *deferred* plan: ``rank`` then holds
+    the (n_br·n_bc,) int32 block→slot map and
+    :func:`materialize_blocks_device` scatters the blocks **on device**
+    from the graph's (row, col, value) arrays — the densified blocks are
+    ~30x the bytes of the edges they encode, and the edges are already
+    resident, so shipping blocks through this environment's slow host→
+    device tunnel is the single largest bench wall-time cost.
     """
 
-    blocks: jax.Array
+    blocks: Optional[jax.Array]
     rb_locals: jax.Array
     cell_starts: jax.Array
     nb: int = dataclasses.field(metadata=dict(static=True))  # incl. padding
@@ -77,6 +85,7 @@ class BSRPlan:
     num_cols: int = dataclasses.field(metadata=dict(static=True))
     kt: int = dataclasses.field(default=256, metadata=dict(static=True))
     g: int = dataclasses.field(default=8, metadata=dict(static=True))
+    rank: Optional[jax.Array] = None  # (n_br*n_bc,) int32; -1 = sparse
 
     @property
     def n_bc(self) -> int:
@@ -135,6 +144,7 @@ def build_plan_v3_arrays(
     vmem_out_bytes: int = 6 << 20,
     max_block_bytes: int = 2 << 30,
     g: int = 8,
+    defer_blocks: bool = False,
 ) -> HybridPlanV3:
     """Build the hybrid plan from host COO arrays.
 
@@ -143,6 +153,10 @@ def build_plan_v3_arrays(
     ``max_block_bytes`` caps the densified HBM footprint — beyond it the
     threshold is raised so only the densest blocks densify.
     ``g``: blocks per DMA/matmul group (see :class:`BSRPlan`).
+    ``defer_blocks``: skip the host densify — the plan carries the
+    block→slot ``rank`` map instead and the bf16 blocks are scattered on
+    device by :func:`materialize_blocks_device` (the blocks are ~30x the
+    bytes of their edges; never ship them through a slow tunnel).
     """
     nnz = int(row.shape[0])
     row = row.astype(np.int64)
@@ -204,7 +218,21 @@ def build_plan_v3_arrays(
             rank = np.full(n_br * n_bc, -1, np.int64)
             rank[dense_bids] = new_pos
 
-            if use_native:
+            if defer_blocks:
+                blocks = None
+                if not use_native:
+                    bid_all = bid
+                else:
+                    bid_all = (row // _BS) * n_bc + (col // _BS)
+                is_dense = rank[bid_all] >= 0
+                if use_native:
+                    res_row, res_col, res_val = native.compact_residual(
+                        row, col, val, is_dense.astype(np.uint8))
+                else:
+                    keep = ~is_dense
+                    res_row, res_col = row[keep], col[keep]
+                    res_val = val[keep]
+            elif use_native:
                 # OpenMP scatter-accumulate + bf16 round, written directly
                 # in the grouped kernel layout (VERDICT r2 next #5: the
                 # numpy densify took ~15 s on the 5.7M-edge bench graph)
@@ -256,7 +284,8 @@ def build_plan_v3_arrays(
                 rb_locals=rb_locals,
                 cell_starts=cell_starts,
                 nb=nb, nrb_s=nrb_s, n_super=n_super,
-                num_rows=num_rows, num_cols=num_cols, kt=kt, g=g)
+                num_rows=num_rows, num_cols=num_cols, kt=kt, g=g,
+                rank=rank.astype(np.int32) if defer_blocks else None)
 
     residual = None
     if res_row.shape[0]:
@@ -270,3 +299,58 @@ def build_plan_v3_arrays(
         dense_edges=dense_edges,
         sparse_edges=nnz - dense_edges,
     )
+
+
+# ---------------------------------------------------------------------------
+# On-device block materialization (deferred plans)
+# ---------------------------------------------------------------------------
+
+def _scatter_blocks_impl(rank, row, col, val, *, n_bc: int, nb: int,
+                         g: int, num_rows: int, num_cols: int):
+    bid = (row // _BS).astype(jnp.int32) * n_bc + (col // _BS).astype(
+        jnp.int32)
+    valid = (row < num_rows) & (col < num_cols)
+    p = jnp.where(valid, jnp.take(rank, jnp.where(valid, bid, 0)), -1)
+    # flat layout per block slot: (p, c_local, r_local); invalid → dump slot
+    flat = jnp.where(
+        p >= 0,
+        p * (_BS * _BS) + (col % _BS) * _BS + (row % _BS),
+        nb * _BS * _BS)
+    # TPU scatter with random indices lowers to a serial update loop
+    # (measured: MINUTES for 5.7M updates); device-sorting the targets
+    # and using a sorted segment_sum runs in ~0.2 s.
+    order = jnp.argsort(flat)
+    flat_s = jnp.take(flat, order)
+    val_s = jnp.take(jnp.where(p >= 0, val, 0.0), order)
+    acc = jax.ops.segment_sum(val_s, flat_s,
+                              num_segments=nb * _BS * _BS + 1,
+                              indices_are_sorted=True)
+    blocks = acc[:-1].reshape(nb // g, g, _BS, _BS)
+    blocks = (blocks.transpose(0, 2, 1, 3)
+              .reshape(nb // g, _BS, g * _BS))
+    return blocks.astype(jnp.bfloat16)
+
+
+_scatter_blocks = jax.jit(
+    _scatter_blocks_impl,
+    static_argnames=("n_bc", "nb", "g", "num_rows", "num_cols"))
+
+
+def materialize_blocks_device(plan: HybridPlanV3, row, col, val
+                              ) -> HybridPlanV3:
+    """Fill a deferred plan's bf16 blocks by an on-device scatter of the
+    (already resident) graph edge arrays.  No-op for materialized plans.
+
+    ``row/col/val``: the padded device COO arrays matching the plan's
+    orientation (CSR arrays for a forward plan, CSC for a transpose
+    plan)."""
+    if plan.bsr is None or plan.bsr.blocks is not None:
+        return plan
+    bsr = plan.bsr
+    assert bsr.rank is not None, "deferred plan lost its rank map"
+    blocks = _scatter_blocks(
+        jnp.asarray(bsr.rank), row, col, val,
+        n_bc=bsr.n_bc, nb=bsr.nb, g=bsr.g,
+        num_rows=bsr.num_rows, num_cols=bsr.num_cols)
+    return dataclasses.replace(
+        plan, bsr=dataclasses.replace(bsr, blocks=blocks))

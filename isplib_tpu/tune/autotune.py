@@ -80,12 +80,17 @@ DEFAULT_CONFIGS = [
     # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22).
     # version 3 = hybrid BSR + edge residual (fastest on dense-ish
     # graphs); version 2 = column-major streaming; version 1 = row-block
-    # grid kernel.
+    # grid kernel.  The large-(rb, ct) v2 entries target low-block-
+    # occupancy graphs, where small buckets leave chunks mostly padding
+    # and per-chunk DMA-issue overhead dominates.
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=64, g=32),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=96, g=16),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=256, g=16),
     dict(rb=256, ct=128, eb=512, version=2),
     dict(rb=256, ct=512, eb=512, version=2),
+    dict(rb=512, ct=512, eb=512, version=2),
+    dict(rb=256, ct=1024, eb=512, version=2),
+    dict(rb=512, ct=1024, eb=512, version=2),
     dict(rb=512, ct=512, eb=2048, version=2),
     dict(rb=256, ct=512, eb=512, version=1),
 ]

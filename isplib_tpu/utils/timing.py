@@ -25,22 +25,34 @@ def drain(x) -> float:
     return float(jnp.sum(x))
 
 
-def chain_time(f: Callable, x0, iters: int = 20) -> float:
+def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False
+               ) -> float:
     """Seconds per call of ``f`` (whose output must feed its input).
 
     Subtracts single-call + readback latency measured separately, so the
     result reflects steady-state device throughput.
     """
+    def say(msg):
+        if verbose:
+            import sys
+            print(f"[chain_time] {msg} +{time.perf_counter() - t_ref:.1f}s",
+                  file=sys.stderr, flush=True)
+
+    t_ref = time.perf_counter()
     o = f(x0)
+    say("traced+compiled (async)")
     drain(o)  # compile + warm
+    say("warmup drained")
     t0 = time.perf_counter()
     o = f(x0)
     drain(o)
     lat1 = time.perf_counter() - t0
+    say(f"single-call latency {lat1 * 1e3:.1f} ms")
     t0 = time.perf_counter()
     o = x0
     for _ in range(iters):
         o = f(o)
     drain(o)
     total = time.perf_counter() - t0
+    say(f"chain of {iters} done")
     return max((total - lat1) / max(iters - 1, 1), 1e-9)

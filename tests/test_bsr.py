@@ -101,3 +101,39 @@ def test_hybrid_through_spmm_dispatch():
         lambda xx: (spmm(g, xx, backend="xla") ** 2).sum())(jnp.asarray(x))
     err = np.abs(np.asarray(gx) - np.asarray(gx_ref)).max()
     assert err / (np.abs(np.asarray(gx_ref)).max() + 1e-9) < 2e-2
+
+
+def test_deferred_blocks_match_eager(rng):
+    """Deferred plans (blocks scattered on device from the resident edge
+    arrays) must produce bit-identical bf16 blocks to the host densify."""
+    import jax.numpy as jnp
+    from isplib_tpu.sparse.tiling_v3 import (build_plan_v3_arrays,
+                                             materialize_blocks_device)
+    n = 1500
+    e = 60000
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    row[:20000] //= 3
+    col[:20000] //= 3
+    order = np.lexsort((col, row))
+    row, col = row[order].astype(np.int64), col[order].astype(np.int64)
+    val = rng.normal(size=e).astype(np.float32)
+    kw = dict(rb=128, ct=128, eb=128, k=32, dense_threshold=64, g=4)
+    eager = build_plan_v3_arrays(row, col, val, n, n, **kw)
+    deferred = build_plan_v3_arrays(row, col, val, n, n,
+                                    defer_blocks=True, **kw)
+    assert eager.bsr is not None and deferred.bsr.blocks is None
+    assert eager.dense_edges == deferred.dense_edges
+    got = materialize_blocks_device(
+        deferred, jnp.asarray(row.astype(np.int32)),
+        jnp.asarray(col.astype(np.int32)), jnp.asarray(val))
+    a = np.asarray(got.bsr.blocks, np.float32)
+    b = np.asarray(eager.bsr.blocks, np.float32)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a, b)
+    # residuals agree too
+    assert (deferred.residual is None) == (eager.residual is None)
+    if eager.residual is not None:
+        assert np.array_equal(np.asarray(deferred.residual.edges),
+                              np.asarray(eager.residual.edges))
+    assert deferred.sparse_edges == eager.sparse_edges

@@ -86,3 +86,24 @@ def test_empty_graph():
                         edge_multiple=32)
     assert g.nnz == 0
     assert g.nnz_padded == 32
+
+
+def test_device_csc_matches_host(rng):
+    """graph_from_host_arrays recomputes the CSC view on device with one
+    stable sort; it must match the host lexsort bit-for-bit (plans built
+    from the host CSC arrays index into the device CSC view)."""
+    from isplib_tpu.sparse.graph import (_build_arrays,
+                                         graph_from_host_arrays)
+    n = 400
+    e = 5000
+    row = rng.integers(0, n, e)
+    col = rng.integers(0, n, e)
+    # inject duplicate edges to exercise stable tie-breaking
+    row[:100] = row[100:200]
+    col[:100] = col[100:200]
+    val = rng.normal(size=e).astype(np.float32)
+    arrays = _build_arrays(row, col, val, n, n, 256)
+    g = graph_from_host_arrays(arrays)
+    for k in ("csc_row", "csc_col", "csc_value", "csc2csr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(g, k)), arrays[k], err_msg=k)
