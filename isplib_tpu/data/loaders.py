@@ -24,11 +24,11 @@ from typing import Callable
 
 import numpy as np
 
-from ..sparse.graph import from_edge_index
+from ..sparse.graph import from_edge_index, from_scipy
 from .synthetic import NodeDataset, rmat_dataset, _split_masks
 
-__all__ = ["load", "loader_dict", "DATASET_STATS", "pad_features",
-           "get_padding_size"]
+__all__ = ["load", "load_mtx", "loader_dict", "DATASET_STATS",
+           "REAL_BUILTIN", "pad_features", "get_padding_size"]
 
 DATA_DIR = os.environ.get(
     "ISPLIB_DATA", os.path.join(os.path.expanduser("~"), "datasets", "isplib")
@@ -100,19 +100,68 @@ def _synthetic_standin(name: str, scale: float = 1.0,
     )
 
 
+# Small REAL graphs checked into the repo (data/real/*.mtx — networkx's
+# embedded classics, exported by scripts/export_real_mtx.py).  They
+# exercise the reference's .mtx ingestion path (README.md:147-168) with
+# genuinely real adjacency + labels in this network-less environment.
+REAL_BUILTIN = ("karate", "lesmis")
+_REAL_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "data", "real")
+
+
+def load_mtx(path: str, labels_npz: str | None = None,
+             name: str | None = None, edge_multiple: int = 128,
+             tiling=None, train_frac: float = 0.5,
+             seed: int = 0) -> NodeDataset:
+    """Load a MatrixMarket adjacency (the reference autotuner's input
+    format) + optional labels into a NodeDataset.  Features are one-hot
+    node ids (the standard featureless-graph convention)."""
+    import scipy.io
+
+    mat = scipy.io.mmread(path).tocoo()
+    graph = from_scipy(mat, edge_multiple=edge_multiple, tiling=tiling)
+    n = graph.num_rows
+    if labels_npz is not None:
+        with np.load(labels_npz) as z:
+            y = z["y"].astype(np.int32)
+    else:
+        y = np.zeros(n, np.int32)
+    x = np.eye(n, dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    train = np.zeros(n, bool)
+    train[perm[: int(train_frac * n)]] = True
+    return NodeDataset(
+        name=name or os.path.basename(path),
+        graph=graph, x=x, y=y,
+        train_mask=train, val_mask=~train, test_mask=~train,
+        num_classes=int(y.max()) + 1)
+
+
+def _load_real_builtin(name: str, tiling=None) -> NodeDataset:
+    return load_mtx(
+        os.path.join(_REAL_DIR, f"{name}.mtx"),
+        labels_npz=os.path.join(_REAL_DIR, f"{name}_labels.npz"),
+        name=name, tiling=tiling)
+
+
 def load(name: str, allow_synthetic: bool = True,
          scale: float = 1.0, tiling=None) -> NodeDataset:
     """Load one of the six reference datasets (or ``<name>-sim`` to force
-    the synthetic stand-in; ``scale`` shrinks stand-ins for smoke tests).
+    the synthetic stand-in; ``scale`` shrinks stand-ins for smoke tests),
+    or one of the checked-in real graphs (karate, lesmis).
 
     ``tiling=(rb, ct, eb)`` attaches Pallas plans during construction —
     always pass it here rather than calling build_tiling on the loaded
     graph (which would read arrays back through the slow TPU tunnel)."""
+    if name in REAL_BUILTIN:
+        return _load_real_builtin(name, tiling=tiling)
     force_sim = name.endswith("-sim")
     base = name[:-4] if force_sim else name
     if base not in DATASET_STATS:
         raise KeyError(
-            f"unknown dataset {name!r}; known: {sorted(DATASET_STATS)}")
+            f"unknown dataset {name!r}; known: "
+            f"{sorted(DATASET_STATS) + list(REAL_BUILTIN)}")
     if not force_sim and os.path.exists(_npz_path(base)):
         return _load_npz(base, tiling=tiling)
     if not (allow_synthetic or force_sim):

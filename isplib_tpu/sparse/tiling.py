@@ -295,12 +295,19 @@ def build_tiling_from_numpy(
             f"{sorted(plan_kwargs)} — use version=2/3 for "
             f"dense_threshold/g/vmem_out_bytes")
 
-    # v3 BSR blocks are scattered on device from the resident edge arrays
-    # (deferred build) — they are ~30x the bytes of their edges, and this
-    # environment's host→device tunnel is the bench wall-time bottleneck.
+    # Deferred plan materialization: v3 BSR blocks are scattered and v2
+    # edge planes are gather-packed ON DEVICE from the resident edge
+    # arrays — the packed forms are 3-30x the bytes of the indices that
+    # describe them, and this environment's host→device tunnel is the
+    # bench wall-time bottleneck.
     if version == 3:
         plan_kwargs.setdefault("defer_blocks", bool(device))
-    defer = bool(version == 3 and plan_kwargs.get("defer_blocks"))
+    elif version == 2:
+        plan_kwargs.setdefault("defer_edges", bool(device))
+    defer = bool(
+        (version == 3 and plan_kwargs.get("defer_blocks"))
+        or (version == 2 and plan_kwargs.get("defer_edges")))
+    defer_minmax = bool(device)
 
     plans = None
     cache_path = None
@@ -308,6 +315,7 @@ def build_tiling_from_numpy(
         from .plan_cache import plan_cache_path, load_host_plans
         cfg = dict(rb=rb, ct=ct, eb=eb, version=version, k=k,
                    bwd=build_backward, minmax=build_minmax,
+                   dev=bool(device),
                    nnz=graph.nnz, shape=list(graph.shape), **plan_kwargs)
         cache_path = plan_cache_path(cache_tag, cfg, cache_dir)
         plans = load_host_plans(cache_path)
@@ -350,7 +358,7 @@ def build_tiling_from_numpy(
             fwd_arg = build_plan_v2_arrays(
                 row, col, val, graph.num_rows, graph.num_cols,
                 rb=mm_rb, ct=mm_ct, eb=eb, k=k, with_eids=True,
-                vmem_out_bytes=2 << 20)
+                vmem_out_bytes=2 << 20, defer_edges=defer_minmax)
         plans = {"fwd": fwd, "bwd": bwd, "fwd_arg": fwd_arg}
         if cache_path is not None:
             from .plan_cache import save_host_plans
@@ -359,14 +367,23 @@ def build_tiling_from_numpy(
     if device:
         from ..utils.transfer import tree_device_put
         plans = tree_device_put(plans)
-    if version == 3 and defer:
-        from .tiling_v3 import materialize_blocks_device
-        plans["fwd"] = materialize_blocks_device(
-            plans["fwd"], graph.row, graph.col, graph.value)
+        from .tiling_v2 import TiledPlanV2, materialize_v2_edges_device
+        from .tiling_v3 import HybridPlanV3, materialize_blocks_device
+
+        def _mat(p, r, c, v):
+            if isinstance(p, HybridPlanV3):
+                return materialize_blocks_device(p, r, c, v)
+            if isinstance(p, TiledPlanV2):
+                return materialize_v2_edges_device(p, r, c, v)
+            return p
+        plans["fwd"] = _mat(plans["fwd"], graph.row, graph.col,
+                            graph.value)
         if plans["bwd"] is not None:
-            plans["bwd"] = materialize_blocks_device(
-                plans["bwd"], graph.csc_row, graph.csc_col,
-                graph.csc_value)
+            plans["bwd"] = _mat(plans["bwd"], graph.csc_row,
+                                graph.csc_col, graph.csc_value)
+        if plans["fwd_arg"] is not None:
+            plans["fwd_arg"] = _mat(plans["fwd_arg"], graph.row,
+                                    graph.col, graph.value)
     return TiledGraph(graph=graph, fwd=plans["fwd"], bwd=plans["bwd"],
                       fwd_arg=plans["fwd_arg"])
 

@@ -34,7 +34,8 @@ import numpy as np
 
 from .graph import CSRGraph
 
-__all__ = ["TiledPlanV2", "build_plan_v2_arrays"]
+__all__ = ["TiledPlanV2", "build_plan_v2_arrays",
+           "materialize_v2_edges_device"]
 
 _LANE = 128
 
@@ -59,7 +60,7 @@ class TiledPlanV2:
     ``cell_starts``: (n_super·nct + 1,) int32 — chunk range per grid cell.
     """
 
-    edges: jax.Array
+    edges: Optional[jax.Array]
     rb_locals: jax.Array
     cell_starts: jax.Array
     rb: int = dataclasses.field(metadata=dict(static=True))
@@ -84,6 +85,14 @@ class TiledPlanV2:
     # results into CSR edge order with a gather (a random-index scatter
     # would serialize on TPU).
     eid_pos: Optional[jax.Array] = None
+    # Deferred plans: ``edges`` is None and ``edge_of_slot`` holds, per
+    # plan slot (chunk·eb + slot), the edge's position in the graph's
+    # padded CSR/CSC arrays (-1 = pad slot).
+    # :func:`materialize_v2_edges_device` then packs the edge planes ON
+    # DEVICE with gathers from the resident edge arrays — shipping the
+    # packed planes through the tunnel costs 3-4x the bytes of this one
+    # index array.
+    edge_of_slot: Optional[jax.Array] = None
 
     @property
     def nct(self) -> int:
@@ -113,6 +122,8 @@ def build_plan_v2_arrays(
     k: int = 32,
     vmem_out_bytes: int = 6 << 20,
     with_eids: bool = False,
+    orig_ids: Optional[np.ndarray] = None,
+    defer_edges: bool = False,
 ) -> TiledPlanV2:
     """Build the v2 plan from host COO arrays (CSR-sorted or not).
 
@@ -126,6 +137,14 @@ def build_plan_v2_arrays(
     of each slot (-1 on pads) — required by the max/min arg kernel.
     NOTE: arg tie-breaking matches the oracle (lowest edge id) only for
     (row, col)-sorted input, the :class:`CSRGraph` default.
+
+    ``orig_ids``: position of each input edge in the graph's padded
+    CSR/CSC arrays (defaults to identity) — set when building over a
+    SUBSET (e.g. the v3 residual) so edge-id planes and deferred packing
+    reference the full graph.
+    ``defer_edges``: skip host packing; the plan carries only
+    ``edge_of_slot`` and :func:`materialize_v2_edges_device` packs the
+    planes on device.
     """
     assert eb % _LANE == 0 and rb % _LANE == 0 and ct % _LANE == 0, \
         "rb/ct/eb must be multiples of 128"
@@ -147,7 +166,8 @@ def build_plan_v2_arrays(
             num_rows=num_rows, num_cols=num_cols, fill=0.0, kt=kt)
 
     from .. import native
-    if (not with_eids and native.available()
+    if (not with_eids and not defer_edges and orig_ids is None
+            and native.available()
             and getattr(native, "has_plan_v2", lambda: 0)()
             and bool(np.all(row[1:] >= row[:-1]))):
         # linear-time OpenMP path (requires row-sorted input — the cheap
@@ -189,13 +209,6 @@ def build_plan_v2_arrays(
     nc = int(chunk_id[-1]) + 1
     slot = (pos % eb).astype(np.int64)
 
-    local_cols = np.zeros((nc, eb), np.int32)
-    vals_arr = np.zeros((nc, eb), np.float32)
-    local_rows = np.zeros((nc, eb), np.int32)
-    local_cols[chunk_id, slot] = (col - ctid * ct).astype(np.int32)
-    vals_arr[chunk_id, slot] = val.astype(np.float32)
-    local_rows[chunk_id, slot] = (row - rbid * rb).astype(np.int32)
-
     first_edge = np.flatnonzero(new_chunk)
     rb_locals = (rbid[first_edge] - sid[first_edge] * nrb_s).astype(np.int32)
     cell_of_chunk = (sid[first_edge] * nct + ctid[first_edge]).astype(np.int64)
@@ -203,20 +216,46 @@ def build_plan_v2_arrays(
     cell_starts = np.zeros(n_super * nct + 1, np.int32)
     cell_starts[1:] = np.cumsum(counts)
 
+    # original-array position of each (plan-ordered) edge
+    oid = order if orig_ids is None else np.asarray(orig_ids,
+                                                    np.int64)[order]
+
+    eid_pos = None
+    if with_eids:
+        # inverse map: input edge index → plan slot (SDDMM writes back
+        # with a gather; a random scatter serializes on TPU)
+        eid_pos = np.empty(nnz, np.int32)
+        eid_pos[order] = (chunk_id * eb + slot).astype(np.int32)
+
     sub = eb // _LANE
+    if defer_edges:
+        eos = np.full(nc * eb, -1, np.int32)
+        eos[chunk_id * eb + slot] = oid.astype(np.int32)
+        return TiledPlanV2(
+            edges=None,
+            rb_locals=rb_locals,
+            cell_starts=cell_starts,
+            rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
+            num_rows=num_rows, num_cols=num_cols,
+            fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos,
+            edge_of_slot=eos,
+        )
+
+    local_cols = np.zeros((nc, eb), np.int32)
+    vals_arr = np.zeros((nc, eb), np.float32)
+    local_rows = np.zeros((nc, eb), np.int32)
+    local_cols[chunk_id, slot] = (col - ctid * ct).astype(np.int32)
+    vals_arr[chunk_id, slot] = val.astype(np.float32)
+    local_rows[chunk_id, slot] = (row - rbid * rb).astype(np.int32)
+
     edges = np.empty((nc, n_planes, sub, _LANE), np.int32)
     edges[:, 0] = local_cols.reshape(nc, sub, _LANE)
     edges[:, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
     edges[:, 2] = local_rows.reshape(nc, sub, _LANE)
-    eid_pos = None
     if with_eids:
         eids_arr = np.full((nc, eb), -1, np.int32)
-        eids_arr[chunk_id, slot] = order.astype(np.int32)
+        eids_arr[chunk_id, slot] = oid.astype(np.int32)
         edges[:, 3] = eids_arr.reshape(nc, sub, _LANE)
-        # inverse map: original edge id → plan slot (SDDMM writes back
-        # with a gather; a random scatter serializes on TPU)
-        eid_pos = np.empty(nnz, np.int32)
-        eid_pos[order] = (chunk_id * eb + slot).astype(np.int32)
 
     return TiledPlanV2(
         edges=edges,
@@ -226,3 +265,64 @@ def build_plan_v2_arrays(
         num_rows=num_rows, num_cols=num_cols,
         fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos,
     )
+
+
+# ---------------------------------------------------------------------------
+# On-device edge packing (deferred plans)
+# ---------------------------------------------------------------------------
+
+def _pack_v2_edges_impl(edge_of_slot, rb_locals, cell_starts, row, col,
+                        val, *, rb: int, ct: int, eb: int, nc: int,
+                        nct: int, nrb_s: int, with_eids: bool):
+    eos = edge_of_slot                                 # (nc*eb,) int32
+    valid = eos >= 0
+    e = jnp.where(valid, eos, 0)
+    r = jnp.take(row, e)
+    c = jnp.take(col, e)
+    v = jnp.where(valid, jnp.take(val, e), 0.0)
+
+    # per-chunk geometry from the cell table (empty cells share starts;
+    # 'right' search lands on the owning non-empty cell)
+    cells = jnp.searchsorted(
+        cell_starts, jnp.arange(nc, dtype=cell_starts.dtype),
+        side="right") - 1
+    sid = (cells // nct).astype(jnp.int32)
+    ctid = (cells % nct).astype(jnp.int32)
+    rbid = sid * nrb_s + rb_locals                     # (nc,) global
+    chunk = jnp.repeat(jnp.arange(nc, dtype=jnp.int32), eb)
+
+    cols_l = jnp.where(valid, c - jnp.take(ctid, chunk) * ct, 0)
+    rows_l = jnp.where(valid, r - jnp.take(rbid, chunk) * rb, 0)
+    planes = [cols_l.astype(jnp.int32),
+              jax.lax.bitcast_convert_type(v.astype(jnp.float32),
+                                           jnp.int32),
+              rows_l.astype(jnp.int32)]
+    if with_eids:
+        planes.append(eos)
+    sub = eb // _LANE
+    edges = jnp.stack(planes, axis=1).reshape(nc, eb, len(planes))
+    # (nc*eb, planes) stacked → want (nc, planes, sub, 128)
+    edges = edges.transpose(0, 2, 1).reshape(nc, len(planes), sub, _LANE)
+    return edges
+
+
+_pack_v2_edges = jax.jit(
+    _pack_v2_edges_impl,
+    static_argnames=("rb", "ct", "eb", "nc", "nct", "nrb_s", "with_eids"))
+
+
+def materialize_v2_edges_device(plan: TiledPlanV2, row, col, val
+                                ) -> TiledPlanV2:
+    """Pack a deferred plan's edge planes on device by gathering from the
+    resident padded edge arrays (CSR for forward plans, CSC for
+    transpose plans).  No-op for plans that already carry edges."""
+    if plan.edges is not None:
+        return plan
+    assert plan.edge_of_slot is not None, "deferred plan lost edge_of_slot"
+    with_eids = plan.eid_pos is not None
+    edges = _pack_v2_edges(
+        jnp.asarray(plan.edge_of_slot), jnp.asarray(plan.rb_locals),
+        jnp.asarray(plan.cell_starts), row, col, val,
+        rb=plan.rb, ct=plan.ct, eb=plan.eb, nc=plan.nc, nct=plan.nct,
+        nrb_s=plan.nrb_s, with_eids=with_eids)
+    return dataclasses.replace(plan, edges=edges)

@@ -242,3 +242,52 @@ def test_gcn_training_with_pallas_backend(rng):
     assert np.isfinite(float(out))
     assert all(bool(jnp.isfinite(g).all())
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_deferred_v2_edges_match_eager(rng):
+    """Deferred v2 plans (edge planes gather-packed on device) must be
+    bit-identical to host-packed plans, including the eids plane and a
+    subset build with orig_ids (the v3 residual case)."""
+    import jax.numpy as jnp
+    from isplib_tpu.sparse.tiling_v2 import (build_plan_v2_arrays,
+                                             materialize_v2_edges_device)
+    n = 700
+    e = 9000
+    row = rng.integers(0, n, e).astype(np.int64)
+    col = rng.integers(0, n, e).astype(np.int64)
+    order = np.lexsort((col, row))
+    row, col = row[order], col[order]
+    val = rng.normal(size=e).astype(np.float32)
+    kw = dict(rb=128, ct=256, eb=128, k=32)
+
+    for with_eids in (False, True):
+        eager = build_plan_v2_arrays(row, col, val, n, n,
+                                     with_eids=with_eids, **kw)
+        deferred = build_plan_v2_arrays(row, col, val, n, n,
+                                        with_eids=with_eids,
+                                        defer_edges=True, **kw)
+        assert deferred.edges is None
+        got = materialize_v2_edges_device(
+            deferred, jnp.asarray(row.astype(np.int32)),
+            jnp.asarray(col.astype(np.int32)), jnp.asarray(val))
+        np.testing.assert_array_equal(np.asarray(got.edges),
+                                      np.asarray(eager.edges))
+
+    # subset with orig_ids: plan over half the edges, gathers from the
+    # full arrays
+    ids = np.sort(rng.choice(e, size=e // 2, replace=False))
+    eager = build_plan_v2_arrays(row[ids], col[ids], val[ids], n, n,
+                                 with_eids=True, **kw)
+    deferred = build_plan_v2_arrays(row[ids], col[ids], val[ids], n, n,
+                                    with_eids=True, defer_edges=True,
+                                    orig_ids=ids, **kw)
+    got = materialize_v2_edges_device(
+        deferred, jnp.asarray(row.astype(np.int32)),
+        jnp.asarray(col.astype(np.int32)), jnp.asarray(val))
+    got_e = np.asarray(got.edges)
+    want_e = np.asarray(eager.edges).copy()
+    # eids plane differs by construction: eager used subset-relative ids;
+    # map them through `ids` before comparing
+    we = want_e[:, 3]
+    want_e[:, 3] = np.where(we >= 0, ids[np.clip(we, 0, None)], -1)
+    np.testing.assert_array_equal(got_e, want_e)
