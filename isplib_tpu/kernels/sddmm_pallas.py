@@ -179,7 +179,7 @@ def sddmm_tiled(plan: TiledPlanV2, a: jax.Array, b: jax.Array,
         return jax.lax.dynamic_update_slice(out, vals, (0,))
     # legacy plans without eid_pos: scatter by edge id (fine in interpret/
     # CPU runs, slow on real TPU)
-    eids = plan.edges[:, 3].reshape(-1)
+    eids = plan.edges[:plan.nc, 3].reshape(-1)
     tgt = jnp.where(eids >= 0, eids, nnz_padded - 1)
     out = jnp.zeros((nnz_padded,), jnp.float32).at[tgt].set(
         dots, mode="drop")

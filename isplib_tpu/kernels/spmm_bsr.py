@@ -80,10 +80,14 @@ def _bsr_kernel(
 
         blk_dma(slot, start + j).wait()
 
-        # one wide matmul covers the g member blocks of the group
+        # one wide matmul covers the g member blocks of the group.
+        # precision pinned to DEFAULT — a global highest setting would
+        # request fp32 contract precision on bf16 operands, which
+        # crashes the Mosaic compiler (observed on v5e).
         part = jax.lax.dot_general(
             xt, blk_buf[slot], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # (kt, g·128)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)            # (kt, g·128)
         for m in range(g):
             rbl = rb_locals_ref[(start + j) * g + m]
             out_ref[rbl] += part[:, m * _BS:(m + 1) * _BS]

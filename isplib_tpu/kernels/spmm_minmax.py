@@ -235,7 +235,7 @@ def _minmax_call(plan: TiledPlanV2, x: jax.Array, negate: bool,
     # resolve (chunk+1, slot+1) → plan position → original edge id
     pos = ((hi.astype(jnp.int32) - 1) * eb + (lo.astype(jnp.int32) - 1))
     pos = jnp.clip(pos, 0, plan.nc * eb - 1)
-    eid_lookup = plan.edges[:, 3].reshape(plan.nc * eb)
+    eid_lookup = plan.edges[:plan.nc, 3].reshape(plan.nc * eb)
     arg = jnp.take(eid_lookup, pos, axis=0)
     arg = jnp.where(present, arg, jnp.int32(sentinel))
     return out, arg

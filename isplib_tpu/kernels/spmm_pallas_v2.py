@@ -89,7 +89,7 @@ def _spmm_v2_kernel(
     # scratch
     edges_buf, edge_sems,
     *,
-    rb: int, ct: int, eb: int, nct: int, compute_dtype,
+    rb: int, ct: int, eb: int, nct: int, compute_dtype, gd: int,
 ):
     s = pl.program_id(0)
     c = pl.program_id(2)  # grid = (superblock, k-tile, col-tile)
@@ -97,18 +97,24 @@ def _spmm_v2_kernel(
     start = cell_starts_ref[cell]
     end = cell_starts_ref[cell + 1]
     n_chunks = end - start
+    # grouped DMA: one descriptor covers gd consecutive chunks (a cell's
+    # chunks are contiguous; the plan's inert tail makes the final
+    # overread safe) — amortizes the ~0.35 µs DMA-issue cost that
+    # dominates low-fill plans.
+    n_groups = jax.lax.div(n_chunks + (gd - 1), gd)
 
     @pl.when(c == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    def edge_dma(slot, ci):
-        return pltpu.make_async_copy(edges_hbm.at[ci], edges_buf.at[slot],
-                                     edge_sems.at[slot])
+    def edge_dma(slot, gi):
+        return pltpu.make_async_copy(
+            edges_hbm.at[pl.ds(start + gi * gd, gd)], edges_buf.at[slot],
+            edge_sems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(n_groups > 0)
     def _():
-        edge_dma(0, start).start()
+        edge_dma(0, 0).start()
 
     k_pad = x_ref.shape[0]
     # Scatter one-hot is built TRANSPOSED — (rb, 128) with rb on sublanes,
@@ -120,33 +126,47 @@ def _spmm_v2_kernel(
         slot = jax.lax.rem(j, 2)
         nslot = 1 - slot
 
-        @pl.when(j + 1 < n_chunks)
+        @pl.when(j + 1 < n_groups)
         def _():
-            edge_dma(nslot, start + j + 1).start()
+            edge_dma(nslot, j + 1).start()
 
-        edge_dma(slot, start + j).wait()
+        edge_dma(slot, j).wait()
 
-        cols = edges_buf[slot, 0]                               # (sub, 128)
-        vals = pltpu.bitcast(edges_buf[slot, 1], jnp.float32)   # (sub, 128)
-        rows = edges_buf[slot, 2]                               # (sub, 128)
-        gathered = _gather_x(x_ref[...], cols, k_pad, ct, eb)
+        for m in range(gd):
+            # trailing group members past the cell's end carry another
+            # cell's (or the inert tail's) data — skip them entirely
+            @pl.when(j * gd + m < n_chunks)
+            def _(m=m):
+                cols = edges_buf[slot, m, 0]                    # (sub, 128)
+                vals = pltpu.bitcast(edges_buf[slot, m, 1],
+                                     jnp.float32)               # (sub, 128)
+                rows = edges_buf[slot, m, 2]                    # (sub, 128)
+                gathered = _gather_x(x_ref[...], cols, k_pad, ct, eb)
 
-        part = None
-        for eg in range(eb // _LANE):
-            vals_g = vals[eg][None, :]                          # (1, 128)
-            wg = (gathered[eg] * vals_g).astype(compute_dtype)  # (k_pad,128)
-            oh_t = (rb_iota_t == rows[eg][None, :]).astype(
-                compute_dtype)                                  # (rb, 128)
-            pg = jax.lax.dot_general(
-                wg, oh_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)             # (k_pad, rb)
-            part = pg if part is None else part + pg
+                part = None
+                for eg in range(eb // _LANE):
+                    vals_g = vals[eg][None, :]                  # (1, 128)
+                    wg = (gathered[eg] * vals_g).astype(
+                        compute_dtype)                          # (k_pad,128)
+                    oh_t = (rb_iota_t == rows[eg][None, :]).astype(
+                        compute_dtype)                          # (rb, 128)
+                    # precision pinned to DEFAULT: the operands are
+                    # already the chosen compute dtype, and a global
+                    # jax_default_matmul_precision=highest (tests set it
+                    # for their DENSE oracles) otherwise leaks in and
+                    # crashes the Mosaic compiler on bf16 matmuls with
+                    # fp32 contract precision (observed on v5e).
+                    pg = jax.lax.dot_general(
+                        wg, oh_t, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)    # (k_pad,rb)
+                    part = pg if part is None else part + pg
 
-        rbl = rb_locals_ref[start + j]
-        out_ref[rbl] += part
+                rbl = rb_locals_ref[start + j * gd + m]
+                out_ref[rbl] += part
         return carry
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(0, n_groups, body, 0)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -175,9 +195,10 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
     xt = jnp.zeros((k_pad, plan.c_padded), x.dtype)
     xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
 
+    gd = plan.gd
     kernel = functools.partial(
         _spmm_v2_kernel, rb=rb, ct=ct, eb=eb, nct=nct,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, gd=gd)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -192,7 +213,8 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             # plane count follows the plan (3, or 4 when built with_eids)
-            pltpu.VMEM((2, plan.edges.shape[1], sub, _LANE), jnp.int32),
+            pltpu.VMEM((2, gd, plan.edges.shape[1], sub, _LANE),
+                       jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

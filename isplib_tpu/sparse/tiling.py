@@ -437,7 +437,7 @@ def auto_tile(graph, k: int = 32):
         if entry and entry.get("backend") == "pallas":
             cfg = {f: entry[f] for f in ("rb", "ct", "eb")}
             cfg["version"] = entry.get("version", 2)
-            for f in ("dense_threshold", "g"):
+            for f in ("dense_threshold", "g", "gd"):
                 if f in entry:
                     cfg[f] = entry[f]
         elif entry and entry.get("backend") == "xla":

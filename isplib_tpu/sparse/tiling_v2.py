@@ -39,6 +39,12 @@ __all__ = ["TiledPlanV2", "build_plan_v2_arrays",
 
 _LANE = 128
 
+# Inert zero chunks appended after every plan's real chunks so the
+# kernel's grouped DMA (gd consecutive chunks per descriptor) may read
+# past a cell's end without touching another cell's data or falling off
+# the array.  Upper-bounds the kernel's gd.
+_TAIL = 8
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -80,6 +86,10 @@ class TiledPlanV2:
     # so the (nrb_s, kt, rb) output block fits VMEM at any feature width
     # (reddit K=602, findbestk K=1024 — VERDICT r1 weak #3).
     kt: int = dataclasses.field(default=256, metadata=dict(static=True))
+    # chunks per DMA descriptor in the kernel (edge chunks of one cell
+    # are contiguous, so one grouped copy amortizes the ~0.35 us
+    # DMA-issue cost that dominates at low fill); <= _TAIL.
+    gd: int = dataclasses.field(default=1, metadata=dict(static=True))
     # with_eids plans only: (nnz,) int32, plan slot (chunk*eb + slot) of
     # each ORIGINAL edge id — lets SDDMM consumers place plan-order
     # results into CSR edge order with a gather (a random-index scatter
@@ -124,6 +134,7 @@ def build_plan_v2_arrays(
     with_eids: bool = False,
     orig_ids: Optional[np.ndarray] = None,
     defer_edges: bool = False,
+    gd: int = 1,
 ) -> TiledPlanV2:
     """Build the v2 plan from host COO arrays (CSR-sorted or not).
 
@@ -157,13 +168,15 @@ def build_plan_v2_arrays(
     n_super = _cdiv(nrb, nrb_s)
 
     n_planes = 4 if with_eids else 3
+    assert 1 <= gd <= _TAIL, f"gd must be in [1, {_TAIL}], got {gd}"
     if nnz == 0:
         return TiledPlanV2(
-            edges=np.zeros((1, n_planes, eb // _LANE, _LANE), np.int32),
-            rb_locals=np.zeros((1,), np.int32),
+            edges=np.zeros((1 + _TAIL, n_planes, eb // _LANE, _LANE),
+                           np.int32),
+            rb_locals=np.zeros((1 + _TAIL,), np.int32),
             cell_starts=np.zeros((n_super * nct + 1,), np.int32),
             rb=rb, ct=ct, eb=eb, nc=1, nrb_s=nrb_s, n_super=n_super,
-            num_rows=num_rows, num_cols=num_cols, fill=0.0, kt=kt)
+            num_rows=num_rows, num_cols=num_cols, fill=0.0, kt=kt, gd=gd)
 
     from .. import native
     if (not with_eids and not defer_edges and orig_ids is None
@@ -175,13 +188,18 @@ def build_plan_v2_arrays(
         edges, rb_locals, cell_starts = native.plan_chunks_v2(
             row, col, val, num_rows, num_cols, rb, ct, eb, nrb_s)
         nc = edges.shape[0]
+        edges = np.concatenate(
+            [edges.reshape(nc, 3, eb // _LANE, _LANE),
+             np.zeros((_TAIL, 3, eb // _LANE, _LANE), np.int32)])
+        rb_locals = np.concatenate(
+            [rb_locals, np.zeros(_TAIL, np.int32)])
         return TiledPlanV2(
-            edges=edges.reshape(nc, 3, eb // _LANE, _LANE),
+            edges=edges,
             rb_locals=rb_locals,
             cell_starts=cell_starts,
             rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols,
-            fill=float(nnz) / (nc * eb), kt=kt)
+            fill=float(nnz) / (nc * eb), kt=kt, gd=gd)
 
     row = row.astype(np.int64)
     col = col.astype(np.int64)
@@ -233,12 +251,13 @@ def build_plan_v2_arrays(
         eos[chunk_id * eb + slot] = oid.astype(np.int32)
         return TiledPlanV2(
             edges=None,
-            rb_locals=rb_locals,
+            rb_locals=np.concatenate(
+                [rb_locals, np.zeros(_TAIL, np.int32)]),
             cell_starts=cell_starts,
             rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
             num_rows=num_rows, num_cols=num_cols,
             fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos,
-            edge_of_slot=eos,
+            edge_of_slot=eos, gd=gd,
         )
 
     local_cols = np.zeros((nc, eb), np.int32)
@@ -248,22 +267,23 @@ def build_plan_v2_arrays(
     vals_arr[chunk_id, slot] = val.astype(np.float32)
     local_rows[chunk_id, slot] = (row - rbid * rb).astype(np.int32)
 
-    edges = np.empty((nc, n_planes, sub, _LANE), np.int32)
-    edges[:, 0] = local_cols.reshape(nc, sub, _LANE)
-    edges[:, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
-    edges[:, 2] = local_rows.reshape(nc, sub, _LANE)
+    edges = np.zeros((nc + _TAIL, n_planes, sub, _LANE), np.int32)
+    edges[:nc, 0] = local_cols.reshape(nc, sub, _LANE)
+    edges[:nc, 1] = vals_arr.view(np.int32).reshape(nc, sub, _LANE)
+    edges[:nc, 2] = local_rows.reshape(nc, sub, _LANE)
     if with_eids:
         eids_arr = np.full((nc, eb), -1, np.int32)
         eids_arr[chunk_id, slot] = oid.astype(np.int32)
-        edges[:, 3] = eids_arr.reshape(nc, sub, _LANE)
+        edges[:nc, 3] = eids_arr.reshape(nc, sub, _LANE)
+        edges[nc:, 3] = -1
 
     return TiledPlanV2(
         edges=edges,
-        rb_locals=rb_locals,
+        rb_locals=np.concatenate([rb_locals, np.zeros(_TAIL, np.int32)]),
         cell_starts=cell_starts,
         rb=rb, ct=ct, eb=eb, nc=nc, nrb_s=nrb_s, n_super=n_super,
         num_rows=num_rows, num_cols=num_cols,
-        fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos,
+        fill=float(nnz) / (nc * eb), kt=kt, eid_pos=eid_pos, gd=gd,
     )
 
 
@@ -288,7 +308,7 @@ def _pack_v2_edges_impl(edge_of_slot, rb_locals, cell_starts, row, col,
         side="right") - 1
     sid = (cells // nct).astype(jnp.int32)
     ctid = (cells % nct).astype(jnp.int32)
-    rbid = sid * nrb_s + rb_locals                     # (nc,) global
+    rbid = sid * nrb_s + rb_locals[:nc]                # (nc,) global
     chunk = jnp.repeat(jnp.arange(nc, dtype=jnp.int32), eb)
 
     cols_l = jnp.where(valid, c - jnp.take(ctid, chunk) * ct, 0)
@@ -303,7 +323,10 @@ def _pack_v2_edges_impl(edge_of_slot, rb_locals, cell_starts, row, col,
     edges = jnp.stack(planes, axis=1).reshape(nc, eb, len(planes))
     # (nc*eb, planes) stacked → want (nc, planes, sub, 128)
     edges = edges.transpose(0, 2, 1).reshape(nc, len(planes), sub, _LANE)
-    return edges
+    tail = jnp.zeros((_TAIL, len(planes), sub, _LANE), jnp.int32)
+    if with_eids:
+        tail = tail.at[:, 3].set(-1)
+    return jnp.concatenate([edges, tail])
 
 
 _pack_v2_edges = jax.jit(

@@ -145,6 +145,7 @@ def build_plan_v3_arrays(
     max_block_bytes: int = 2 << 30,
     g: int = 8,
     defer_blocks: bool = False,
+    gd: int = 1,
 ) -> HybridPlanV3:
     """Build the hybrid plan from host COO arrays.
 
@@ -288,7 +289,7 @@ def build_plan_v3_arrays(
         residual = build_plan_v2_arrays(
             res_row, res_col, res_val, num_rows, num_cols,
             rb=rb, ct=ct, eb=eb, k=k, vmem_out_bytes=vmem_out_bytes,
-            defer_edges=defer_blocks,
+            defer_edges=defer_blocks, gd=gd,
             orig_ids=res_ids if defer_blocks else None)
 
     return HybridPlanV3(

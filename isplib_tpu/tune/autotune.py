@@ -86,11 +86,14 @@ DEFAULT_CONFIGS = [
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=64, g=32),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=96, g=16),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=256, g=16),
+    dict(rb=256, ct=512, eb=512, version=3, dense_threshold=96, g=32,
+         gd=4),
     dict(rb=256, ct=128, eb=512, version=2),
     dict(rb=256, ct=512, eb=512, version=2),
-    dict(rb=512, ct=512, eb=512, version=2),
-    dict(rb=256, ct=1024, eb=512, version=2),
-    dict(rb=512, ct=1024, eb=512, version=2),
+    dict(rb=256, ct=512, eb=512, version=2, gd=4),
+    dict(rb=512, ct=512, eb=512, version=2, gd=4),
+    dict(rb=256, ct=1024, eb=512, version=2, gd=4),
+    dict(rb=512, ct=1024, eb=512, version=2, gd=8),
     dict(rb=512, ct=512, eb=2048, version=2),
     dict(rb=256, ct=512, eb=512, version=1),
 ]
@@ -168,7 +171,8 @@ def tune_spmm(
     record(key, best)
     if best["backend"] == "pallas":
         cfg = {f: best[f] for f in ("rb", "ct", "eb", "version",
-                                    "dense_threshold", "g") if f in best}
+                                    "dense_threshold", "g", "gd")
+               if f in best}
         # production build: backward plan + in-kernel max/min arg plan,
         # persisted under the graph signature (VERDICT r2 next #4)
         best_tiled = build_tiling_from_numpy(

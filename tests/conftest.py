@@ -21,6 +21,15 @@ import pytest  # noqa: E402
 
 if not os.environ.get("ISPLIB_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On-chip runs compile through a slow tunnel — persist executables so
+    # repeat runs (and the TPU_TESTS.md evidence run) skip recompiles.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.expanduser("~"), ".cache", "isplib_tpu",
+                     "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 # Dense test oracles (a @ x) must be exact fp32: the default matmul
 # precision is bf16-grade passes, which breaks allclose comparisons.
