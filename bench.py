@@ -404,10 +404,13 @@ def main():
         log(f"density-rep graph: {dgraph.shape}, nnz={dgraph.nnz} "
             f"(~{occ_real:.0f} edges per 128x128 block, matching full "
             f"{base})")
+        # configs = measured winners of the gd/tile sweep on this graph
+        # (XLA segment-sum runs at 0.089 Ge/s here — the kernels win 6-7x
+        # even in the low-occupancy regime)
         for dcfg, name in (
-                (dict(rb=256, ct=512, eb=512, version=2), "v2"),
+                (dict(rb=512, ct=1024, eb=512, version=2, gd=8), "v2"),
                 (dict(rb=256, ct=512, eb=512, version=3,
-                      dense_threshold=96, g=32,
+                      dense_threshold=96, g=32, gd=4,
                       max_block_bytes=384 << 20), "v3")):
             t0 = time.time()
             dt_g = build_tiling_from_numpy(

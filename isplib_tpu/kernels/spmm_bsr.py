@@ -47,7 +47,7 @@ def _bsr_kernel(
     # scratch
     blk_buf, blk_sems,
     *,
-    n_bc: int, g: int,
+    n_bc: int, g: int, n_cells: int, cross: bool,
 ):
     s = pl.program_id(0)
     c = pl.program_id(2)  # grid = (superblock, k-tile, block-col)
@@ -64,19 +64,40 @@ def _bsr_kernel(
         return pltpu.make_async_copy(blocks_hbm.at[bi], blk_buf.at[slot],
                                      blk_sems.at[slot])
 
-    @pl.when(n_groups > 0)
-    def _():
-        blk_dma(0, start).start()
+    if cross:
+        # Cross-cell prefetch: groups are globally consecutive across
+        # grid cells, so slot parity = global index % 2 stays consistent
+        # and each iteration prefetches the next GLOBAL group — cells
+        # with 1-2 groups (the common case at fine block-col granularity)
+        # no longer stall on a cold DMA at every cell boundary.
+        total = cell_starts_ref[n_cells]
+
+        @pl.when((s == 0) & (c == 0) & (total > 0))
+        def _():
+            blk_dma(0, 0).start()
+    else:
+        @pl.when(n_groups > 0)
+        def _():
+            blk_dma(0, start).start()
 
     xt = x_ref[...].astype(jnp.bfloat16)                    # (kt, 128)
 
     def body(j, carry):
-        slot = jax.lax.rem(j, 2)
-        nslot = 1 - slot
+        if cross:
+            gi = start + j
+            slot = jax.lax.rem(gi, 2)
+            nslot = 1 - slot
 
-        @pl.when(j + 1 < n_groups)
-        def _():
-            blk_dma(nslot, start + j + 1).start()
+            @pl.when(gi + 1 < total)
+            def _():
+                blk_dma(nslot, gi + 1).start()
+        else:
+            slot = jax.lax.rem(j, 2)
+            nslot = 1 - slot
+
+            @pl.when(j + 1 < n_groups)
+            def _():
+                blk_dma(nslot, start + j + 1).start()
 
         blk_dma(slot, start + j).wait()
 
@@ -116,6 +137,9 @@ def _bsr_call(plan: BSRPlan, x: jax.Array, interpret: bool) -> jax.Array:
     xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
 
     g = plan.g
+    # cross-cell prefetch needs each group DMA'd exactly once in global
+    # order — true only when the K grid axis doesn't revisit groups
+    cross = n_kt == 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_super, n_kt, n_bc),
@@ -140,7 +164,8 @@ def _bsr_call(plan: BSRPlan, x: jax.Array, interpret: bool) -> jax.Array:
                       + plan.r_padded * k_pad * 4)
 
     out = pl.pallas_call(
-        functools.partial(_bsr_kernel, n_bc=n_bc, g=g),
+        functools.partial(_bsr_kernel, n_bc=n_bc, g=g,
+                          n_cells=n_super * n_bc, cross=cross),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_super * nrb_s, k_pad, _BS), jnp.float32),

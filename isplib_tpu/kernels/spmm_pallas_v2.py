@@ -90,6 +90,7 @@ def _spmm_v2_kernel(
     edges_buf, edge_sems,
     *,
     rb: int, ct: int, eb: int, nct: int, compute_dtype, gd: int,
+    n_cells: int, cross: bool,
 ):
     s = pl.program_id(0)
     c = pl.program_id(2)  # grid = (superblock, k-tile, col-tile)
@@ -112,9 +113,26 @@ def _spmm_v2_kernel(
             edges_hbm.at[pl.ds(start + gi * gd, gd)], edges_buf.at[slot],
             edge_sems.at[slot])
 
-    @pl.when(n_groups > 0)
-    def _():
-        edge_dma(0, 0).start()
+    def edge_dma_abs(slot, ci):
+        return pltpu.make_async_copy(
+            edges_hbm.at[pl.ds(ci, gd)], edges_buf.at[slot],
+            edge_sems.at[slot])
+
+    if cross:
+        # Cross-cell prefetch (gd == 1): chunks are globally consecutive
+        # across grid cells, so slot parity = global chunk index % 2 is
+        # consistent and every iteration prefetches the next GLOBAL
+        # chunk — cells with 1-3 chunks (low-occupancy graphs) no longer
+        # stall on a cold DMA at every cell boundary.
+        total = cell_starts_ref[n_cells]
+
+        @pl.when((s == 0) & (c == 0) & (total > 0))
+        def _():
+            edge_dma_abs(0, 0).start()
+    else:
+        @pl.when(n_groups > 0)
+        def _():
+            edge_dma(0, 0).start()
 
     k_pad = x_ref.shape[0]
     # Scatter one-hot is built TRANSPOSED — (rb, 128) with rb on sublanes,
@@ -123,14 +141,25 @@ def _spmm_v2_kernel(
     rb_iota_t = jax.lax.broadcasted_iota(jnp.int32, (rb, _LANE), 0)
 
     def body(j, carry):
-        slot = jax.lax.rem(j, 2)
-        nslot = 1 - slot
+        if cross:
+            gi = start + j
+            slot = jax.lax.rem(gi, 2)
+            nslot = 1 - slot
 
-        @pl.when(j + 1 < n_groups)
-        def _():
-            edge_dma(nslot, j + 1).start()
+            @pl.when(gi + 1 < total)
+            def _():
+                edge_dma_abs(nslot, gi + 1).start()
 
-        edge_dma(slot, j).wait()
+            edge_dma_abs(slot, gi).wait()
+        else:
+            slot = jax.lax.rem(j, 2)
+            nslot = 1 - slot
+
+            @pl.when(j + 1 < n_groups)
+            def _():
+                edge_dma(nslot, j + 1).start()
+
+            edge_dma(slot, j).wait()
 
         for m in range(gd):
             # trailing group members past the cell's end carry another
@@ -143,6 +172,9 @@ def _spmm_v2_kernel(
                 rows = edges_buf[slot, m, 2]                    # (sub, 128)
                 gathered = _gather_x(x_ref[...], cols, k_pad, ct, eb)
 
+                # per-group scatter matmuls (measured FASTER than one
+                # chunk-wide lane-concat matmul on v5e — the concat's
+                # vreg moves cost more than the saved MXU issues)
                 part = None
                 for eg in range(eb // _LANE):
                     vals_g = vals[eg][None, :]                  # (1, 128)
@@ -196,9 +228,13 @@ def _spmm_v2_call(plan: TiledPlanV2, x: jax.Array, compute_dtype,
     xt = jax.lax.dynamic_update_slice(xt, x.T, (0, 0))
 
     gd = plan.gd
+    # cross-cell prefetch requires globally-consecutive single-chunk
+    # groups visited exactly once (no K-axis revisits)
+    cross = gd == 1 and n_kt == 1
     kernel = functools.partial(
         _spmm_v2_kernel, rb=rb, ct=ct, eb=eb, nct=nct,
-        compute_dtype=compute_dtype, gd=gd)
+        compute_dtype=compute_dtype, gd=gd,
+        n_cells=n_super * nct, cross=cross)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
