@@ -221,9 +221,13 @@ def _run_plan(plan, x: jax.Array) -> jax.Array:
     column-major streaming — see isplib_tpu.sparse.tiling_v2)."""
     from ..sparse.tiling_v2 import TiledPlanV2
     from ..sparse.tiling_v3 import HybridPlanV3
+    from ..sparse.tiling_v4 import StreamPlanV4
     if isinstance(plan, HybridPlanV3):
         from .spmm_bsr import spmm_hybrid
         return spmm_hybrid(plan, x)
+    if isinstance(plan, StreamPlanV4):
+        from .spmm_pallas_v4 import spmm_stream_v4
+        return spmm_stream_v4(plan, x)
     if isinstance(plan, TiledPlanV2):
         from .spmm_pallas_v2 import spmm_tiled_v2
         return spmm_tiled_v2(plan, x)

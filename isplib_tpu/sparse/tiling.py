@@ -302,11 +302,11 @@ def build_tiling_from_numpy(
     # bench wall-time bottleneck.
     if version == 3:
         plan_kwargs.setdefault("defer_blocks", bool(device))
-    elif version == 2:
+    elif version in (2, 4):
         plan_kwargs.setdefault("defer_edges", bool(device))
     defer = bool(
         (version == 3 and plan_kwargs.get("defer_blocks"))
-        or (version == 2 and plan_kwargs.get("defer_edges")))
+        or (version in (2, 4) and plan_kwargs.get("defer_edges")))
     defer_minmax = bool(device)
 
     plans = None
@@ -327,7 +327,11 @@ def build_tiling_from_numpy(
         val = arrays["value"][:nnz].astype(np.float32)
 
         import functools
-        if version == 3:
+        if version == 4:
+            from .tiling_v4 import build_plan_v4_arrays
+            build = functools.partial(build_plan_v4_arrays, k=k,
+                                      **plan_kwargs)
+        elif version == 3:
             from .tiling_v3 import build_plan_v3_arrays
             build = functools.partial(build_plan_v3_arrays, k=k,
                                       **plan_kwargs)
@@ -369,10 +373,13 @@ def build_tiling_from_numpy(
         plans = tree_device_put(plans)
         from .tiling_v2 import TiledPlanV2, materialize_v2_edges_device
         from .tiling_v3 import HybridPlanV3, materialize_blocks_device
+        from .tiling_v4 import StreamPlanV4, materialize_v4_edges_device
 
         def _mat(p, r, c, v):
             if isinstance(p, HybridPlanV3):
                 return materialize_blocks_device(p, r, c, v)
+            if isinstance(p, StreamPlanV4):
+                return materialize_v4_edges_device(p, r, c, v)
             if isinstance(p, TiledPlanV2):
                 return materialize_v2_edges_device(p, r, c, v)
             return p
