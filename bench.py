@@ -118,17 +118,54 @@ def _bsr_cost(plan, k: int) -> tuple[float, float]:
     return bytes_, flops
 
 
+def _v5_cost(plan, k: int) -> tuple[float, float]:
+    """(bytes, MXU flops) of one v5 hybrid forward pass (per-stripe BSR2
+    block stream + static-S row-stream; both load the resident x)."""
+    k32 = _round_up(k, 32)
+    bytes_ = 0.0
+    flops = 0.0
+    halves = 0
+    for b in plan.bsr2s:
+        if b is None:
+            continue
+        kt = min(b.kt, k32)
+        n_kt = _cdiv(k32, kt)
+        k_pad = n_kt * kt
+        bytes_ += (b.nb * n_kt * 128 * 128 * 2
+                   + n_kt * b.c_padded * kt * 4
+                   + b.r_padded * k_pad * 4)
+        flops += 2 * b.nb * 128 * 128 * k_pad
+        halves += 1
+    for s in plan.streams:
+        if s is None:
+            continue
+        kt = min(s.kt, k32)
+        n_kt = _cdiv(k32, kt)
+        k_pad = n_kt * kt
+        bytes_ += (s.ng * n_kt * 3 * 128 * 4
+                   + n_kt * s.c_padded * kt * 4
+                   + s.r_padded * k_pad * 4)
+        flops += 2 * s.ng * 128 * k_pad * s.rb
+        halves += 1
+    if halves > 1:  # adding the (R, K) halves: reads + one write
+        bytes_ += (halves + 1) * plan.num_rows * k32 * 4
+    return bytes_, flops
+
+
 def plan_bound_edges_per_s(tiled, k: int, bw: float, flops_peak: float,
                            nnz: int) -> float:
     """Plan-aware speed-of-light: nnz / max(bytes/bw, flops/peak) for the
     plan actually executed.  ≥ measured by construction (VERDICT r2 #2b)."""
     from isplib_tpu.sparse.tiling_v2 import TiledPlanV2
     from isplib_tpu.sparse.tiling_v3 import HybridPlanV3
+    from isplib_tpu.sparse.tiling_v5 import HybridPlanV5
 
     plan = tiled.fwd
     bytes_ = 0.0
     flops = 0.0
-    if isinstance(plan, HybridPlanV3):
+    if isinstance(plan, HybridPlanV5):
+        bytes_, flops = _v5_cost(plan, k)
+    elif isinstance(plan, HybridPlanV3):
         halves = 0
         if plan.bsr is not None:
             b, f = _bsr_cost(plan.bsr, k)
@@ -311,21 +348,24 @@ def main():
     # block-occupancy regime of the full graph.
     ap.add_argument("--scale", type=float, default=0.05)
     ap.add_argument("--k", type=int, default=32)
-    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--edge-multiple", type=int, default=4096)
     ap.add_argument("--skip-gcn", action="store_true")
     ap.add_argument("--skip-densrep", action="store_true")
     ap.add_argument("--skip-bwd", action="store_true")
-    ap.add_argument("--rb", type=int, default=256)
+    ap.add_argument("--rb", type=int, default=512)
     ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
-    ap.add_argument("--version", type=int, default=3,
-                    help="plan version: 3=hybrid BSR, 2=edge streaming")
-    ap.add_argument("--dense-threshold", type=int, default=64)
-    ap.add_argument("--g", type=int, default=32,
-                    help="BSR blocks per DMA group (version 3)")
+    ap.add_argument("--version", type=int, default=5,
+                    help="plan version: 5=BSR2+stream hybrid, 3=celled "
+                         "BSR hybrid, 2=edge streaming")
+    ap.add_argument("--dense-threshold", type=int, default=128)
+    ap.add_argument("--S", type=int, default=8,
+                    help="stream gather window in 128-col tiles (v5)")
+    ap.add_argument("--g", type=int, default=8,
+                    help="BSR blocks per DMA group (versions 3/5)")
     ap.add_argument("--tune", action="store_true",
                     help="autotune (rb, ct, eb, backend) before benching")
     args = ap.parse_args()
@@ -362,12 +402,15 @@ def main():
         cfg = dict(rb=args.rb, ct=args.ct, eb=args.eb, version=args.version)
         if args.version == 3:
             cfg.update(dense_threshold=args.dense_threshold, g=args.g)
+        elif args.version == 5:
+            cfg = dict(rb=args.rb, version=5, g=args.g, gd=8,
+                       dense_threshold=args.dense_threshold, S=args.S)
         t0 = time.time()
         tiled = build_tiling_from_numpy(
             graph, np_arrays, k=args.k, cache_tag=tag,
             build_backward=not args.skip_bwd, **cfg)
         extra = (f", dense_e={tiled.fwd.dense_edges}"
-                 if args.version == 3 else "")
+                 if args.version in (3, 5) else "")
         log(f"plan ready in {time.time() - t0:.1f}s: nc={tiled.fwd.nc}, "
             f"fill={tiled.fwd.fill_fraction:.2f}{extra}")
 
@@ -404,20 +447,19 @@ def main():
         log(f"density-rep graph: {dgraph.shape}, nnz={dgraph.nnz} "
             f"(~{occ_real:.0f} edges per 128x128 block, matching full "
             f"{base})")
-        # configs = measured winners of the gd/tile sweep on this graph
-        # (XLA segment-sum runs at 0.089 Ge/s here — the kernels win 6-7x
-        # even in the low-occupancy regime)
+        # configs = measured winners of the r4 sweep on this graph
+        # (scripts/bench_v5.py; the v2 generation — r3's best here —
+        # is kept as the comparison row: 0.60 Ge/s vs v5's 2.86)
         for dcfg, name in (
-                (dict(rb=512, ct=1024, eb=512, version=2, gd=8), "v2"),
-                (dict(rb=256, ct=512, eb=512, version=3,
-                      dense_threshold=96, g=32, gd=4,
-                      max_block_bytes=384 << 20), "v3")):
+                (dict(rb=512, version=5, dense_threshold=128, S=8,
+                      g=8, gd=8), "v5"),
+                (dict(rb=512, ct=1024, eb=512, version=2, gd=8), "v2")):
             t0 = time.time()
             dt_g = build_tiling_from_numpy(
                 dgraph, dnp, k=args.k, build_backward=False,
                 cache_tag=dtag, **dcfg)
             extra = (f" dense_e={dt_g.fwd.dense_edges}/{dgraph.nnz}"
-                     if dcfg["version"] == 3 else "")
+                     if dcfg["version"] in (3, 5) else "")
             dt = bench_spmm(dt_g, args.k, args.iters, "pallas")
             dbound = plan_bound_edges_per_s(dt_g, args.k, bw, fpeak,
                                             dgraph.nnz)
@@ -444,6 +486,9 @@ def main():
         cfg = dict(rb=args.rb, ct=args.ct, eb=args.eb, version=args.version)
         if args.version == 3:
             cfg.update(dense_threshold=args.dense_threshold, g=args.g)
+        elif args.version == 5:
+            cfg = dict(rb=args.rb, version=5, g=args.g, gd=8,
+                       dense_threshold=args.dense_threshold, S=args.S)
         gt = build_tiling_from_numpy(ggraph, gnp, k=args.k,
                                      cache_tag=gtag, **cfg)
         xk = aux["x"][:, : args.k].astype(np.float32)

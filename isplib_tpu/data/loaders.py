@@ -112,10 +112,14 @@ _REAL_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 def load_mtx(path: str, labels_npz: str | None = None,
              name: str | None = None, edge_multiple: int = 128,
              tiling=None, train_frac: float = 0.5,
-             seed: int = 0) -> NodeDataset:
+             seed: int = 0, max_onehot_nodes: int = 4096) -> NodeDataset:
     """Load a MatrixMarket adjacency (the reference autotuner's input
-    format) + optional labels into a NodeDataset.  Features are one-hot
-    node ids (the standard featureless-graph convention)."""
+    format) + optional labels into a NodeDataset.
+
+    Features are one-hot node ids (the standard featureless-graph
+    convention) up to ``max_onehot_nodes`` — one-hot features are O(n²)
+    memory (ADVICE r3: a 100k-node .mtx would allocate ~40 GB).  Larger
+    graphs fall back to 128-dim random features (fixed seed)."""
     import scipy.io
 
     mat = scipy.io.mmread(path).tocoo()
@@ -126,7 +130,11 @@ def load_mtx(path: str, labels_npz: str | None = None,
             y = z["y"].astype(np.int32)
     else:
         y = np.zeros(n, np.int32)
-    x = np.eye(n, dtype=np.float32)
+    if n <= max_onehot_nodes:
+        x = np.eye(n, dtype=np.float32)
+    else:
+        x = np.random.default_rng(seed).normal(
+            size=(n, 128)).astype(np.float32)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
     train = np.zeros(n, bool)

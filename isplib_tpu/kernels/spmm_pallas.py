@@ -222,6 +222,10 @@ def _run_plan(plan, x: jax.Array) -> jax.Array:
     from ..sparse.tiling_v2 import TiledPlanV2
     from ..sparse.tiling_v3 import HybridPlanV3
     from ..sparse.tiling_v4 import StreamPlanV4
+    from ..sparse.tiling_v5 import HybridPlanV5
+    if isinstance(plan, HybridPlanV5):
+        from .spmm_bsr2 import spmm_hybrid_v5
+        return spmm_hybrid_v5(plan, x)
     if isinstance(plan, HybridPlanV3):
         from .spmm_bsr import spmm_hybrid
         return spmm_hybrid(plan, x)

@@ -4,11 +4,11 @@ Consumes :class:`isplib_tpu.sparse.tiling_v4.StreamPlanV4`.  Grid =
 (K-tile, row block); per row block the kernel streams that block's
 128-edge lane groups (grouped DMA, double-buffered) and for each group:
 
-1. walks the group's ``span`` consecutive 128-col tiles of the fully
-   VMEM-resident x, gathering ``x[:, col]`` lanes with the VPU's
-   dynamic_gather (one gather + select per tile actually spanned — the
-   v2 kernel's static ct/128-long select chain was 54% of its runtime
-   in the low-occupancy regime, scripts/ablate_v2.py);
+1. unrolls S static gather visits over the group's S·128-col window of
+   the fully VMEM-resident x (dynamic lane-offset slice per visit,
+   gather + select on the VPU).  S is static by necessity: Mosaic
+   lowers dynamic-trip loops to scalar-serialized while-loops costing
+   ~200 ns + ~76 ns/iteration (scripts/ablate_v4.py);
 2. builds the scatter one-hot with edge values folded into the select
    (``where(iota == rows, vals, 0)``) — no separate value multiply;
 3. accumulates the (kt, rb) partial via one MXU matmul into a loop
@@ -45,7 +45,7 @@ def _interpret() -> bool:
 
 def _v4_kernel(
     # scalar prefetch
-    block_starts_ref, base_ref, span_ref,
+    block_starts_ref, base_ref,
     # tensor inputs
     edges_hbm, x_ref,
     # output block
@@ -53,7 +53,7 @@ def _v4_kernel(
     # scratch
     ebuf, esem,
     *,
-    rb: int, gd: int, kt: int, compute_dtype,
+    rb: int, S: int, gd: int, kt: int, compute_dtype,
 ):
     i = pl.program_id(1)
     g0 = block_starts_ref[i]
@@ -88,19 +88,16 @@ def _v4_kernel(
             vals = pltpu.bitcast(ebuf[slot, m, 1], jnp.float32)
             rows = ebuf[slot, m, 2]                        # (1, 128) i32
             base = base_ref[gidx]
-            span = span_ref[gidx]
 
-            def visit(s, g, cols=cols):
+            g = jnp.zeros((kt, _LANE), jnp.float32)
+            for s in range(S):                    # static unrolled visits
                 src = x_ref[:, pl.ds((base + s) * _LANE, _LANE)]
                 local = cols - s * _LANE                   # (1, 128)
                 idx = jnp.broadcast_to(local & (_LANE - 1), (kt, _LANE))
                 gi = jnp.take_along_axis(src, idx, axis=1)
                 ok = jnp.broadcast_to(
                     local.astype(jnp.uint32) < _LANE, (kt, _LANE))
-                return jnp.where(ok, gi, g)
-
-            g = jax.lax.fori_loop(
-                0, span, visit, jnp.zeros((kt, _LANE), jnp.float32))
+                g = jnp.where(ok, gi, g)
 
             # one-hot scatter with values (and the group-valid flag)
             # folded into the select — a pad/overread group contributes
@@ -141,19 +138,20 @@ def _spmm_v4_call(plan: StreamPlanV4, x: jax.Array, compute_dtype,
         xt, x.T.astype(jnp.float32), (0, 0))
 
     kernel = functools.partial(
-        _v4_kernel, rb=rb, gd=gd, kt=kt, compute_dtype=compute_dtype)
+        _v4_kernel, rb=rb, S=plan.S, gd=gd, kt=kt,
+        compute_dtype=compute_dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(n_kt, plan.nrb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # edges (HBM)
             pl.BlockSpec((kt, plan.c_padded),
-                         lambda kk, i, bs, gb, gs: (kk, 0),
+                         lambda kk, i, bs, gb: (kk, 0),
                          memory_space=pltpu.VMEM),         # resident x
         ],
         out_specs=pl.BlockSpec(
-            (1, kt, rb), lambda kk, i, bs, gb, gs: (i, kk, 0),
+            (1, kt, rb), lambda kk, i, bs, gb: (i, kk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, gd, 3, 1, _LANE), jnp.int32),
@@ -173,7 +171,7 @@ def _spmm_v4_call(plan: StreamPlanV4, x: jax.Array, compute_dtype,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
-    )(plan.block_starts, plan.group_base, plan.group_span, plan.edges, xt)
+    )(plan.block_starts, plan.group_base, plan.edges, xt)
 
     return (out.transpose(0, 2, 1)
             .reshape(plan.nrb * rb, k_pad)[: plan.num_rows, :k])

@@ -25,8 +25,10 @@ import pickle
 import tempfile
 from typing import Optional
 
+import numpy as np
+
 __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
-           "default_cache_dir"]
+           "default_cache_dir", "graph_fingerprint"]
 
 # Bump when the packed plan layout or the TiledPlan* dataclasses change
 # incompatibly — old cache entries are then simply missed, never misread.
@@ -69,12 +71,38 @@ def save_host_plans(path: str, plans: dict) -> None:
 
 
 def load_host_plans(path: str) -> Optional[dict]:
-    """Load a plan dict saved by :func:`save_host_plans`; None on miss or
-    any decode failure (corrupt/stale files are treated as misses)."""
+    """Load a plan dict saved by :func:`save_host_plans`; None on miss.
+
+    Decode failures are treated as misses but logged (ADVICE r3: a
+    silently-swallowed exception here masks real corruption bugs).
+    Note the cache uses pickle — only point ``ISPLIB_TPU_CACHE_DIR`` at
+    directories you trust, as for any pickle store."""
     if not os.path.exists(path):
         return None
     try:
         with open(path, "rb") as f:
             return pickle.load(f)
-    except Exception:
+    except Exception as e:  # noqa: BLE001
+        import sys
+        print(f"[isplib_tpu] plan cache entry {path} failed to decode "
+              f"({type(e).__name__}: {str(e)[:80]}) — rebuilding",
+              file=sys.stderr)
         return None
+
+
+def graph_fingerprint(arrays: dict, nnz: int) -> str:
+    """Cheap content hash of the actual edge structure (ADVICE r3
+    medium: size statistics alone let two different graphs share plan
+    cache entries, silently producing wrong SpMM results).  crc32 over
+    the rowptr plus head/tail slices of the column array."""
+    import zlib
+    rp = arrays.get("rowptr", arrays["row"][:nnz])
+    h = zlib.crc32(np.ascontiguousarray(rp).tobytes())
+    col = arrays["col"][:nnz]
+    n = min(65536, col.shape[0])
+    h = zlib.crc32(np.ascontiguousarray(col[:n]).tobytes(), h)
+    h = zlib.crc32(np.ascontiguousarray(col[-n:]).tobytes(), h)
+    val = arrays.get("value")
+    if val is not None and val.shape[0]:
+        h = zlib.crc32(np.ascontiguousarray(val[:n]).tobytes(), h)
+    return f"{h:08x}"

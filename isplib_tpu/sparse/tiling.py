@@ -302,20 +302,24 @@ def build_tiling_from_numpy(
     # bench wall-time bottleneck.
     if version == 3:
         plan_kwargs.setdefault("defer_blocks", bool(device))
-    elif version in (2, 4):
+    elif version in (2, 4, 5):
         plan_kwargs.setdefault("defer_edges", bool(device))
     defer = bool(
         (version == 3 and plan_kwargs.get("defer_blocks"))
-        or (version in (2, 4) and plan_kwargs.get("defer_edges")))
+        or (version in (2, 4, 5) and plan_kwargs.get("defer_edges")))
     defer_minmax = bool(device)
 
     plans = None
     cache_path = None
     if cache_tag is not None:
-        from .plan_cache import plan_cache_path, load_host_plans
+        from .plan_cache import (plan_cache_path, load_host_plans,
+                                 graph_fingerprint)
         cfg = dict(rb=rb, ct=ct, eb=eb, version=version, k=k,
                    bwd=build_backward, minmax=build_minmax,
                    dev=bool(device),
+                   # content hash: two graphs with identical size stats
+                   # must never share plans (ADVICE r3 medium)
+                   fp=graph_fingerprint(arrays, graph.nnz),
                    nnz=graph.nnz, shape=list(graph.shape), **plan_kwargs)
         cache_path = plan_cache_path(cache_tag, cfg, cache_dir)
         plans = load_host_plans(cache_path)
@@ -327,7 +331,11 @@ def build_tiling_from_numpy(
         val = arrays["value"][:nnz].astype(np.float32)
 
         import functools
-        if version == 4:
+        if version == 5:
+            from .tiling_v5 import build_plan_v5_arrays
+            build = functools.partial(build_plan_v5_arrays, k=k,
+                                      **plan_kwargs)
+        elif version == 4:
             from .tiling_v4 import build_plan_v4_arrays
             build = functools.partial(build_plan_v4_arrays, k=k,
                                       **plan_kwargs)
@@ -374,8 +382,11 @@ def build_tiling_from_numpy(
         from .tiling_v2 import TiledPlanV2, materialize_v2_edges_device
         from .tiling_v3 import HybridPlanV3, materialize_blocks_device
         from .tiling_v4 import StreamPlanV4, materialize_v4_edges_device
+        from .tiling_v5 import HybridPlanV5, materialize_v5_device
 
         def _mat(p, r, c, v):
+            if isinstance(p, HybridPlanV5):
+                return materialize_v5_device(p, r, c, v)
             if isinstance(p, HybridPlanV3):
                 return materialize_blocks_device(p, r, c, v)
             if isinstance(p, StreamPlanV4):
@@ -434,19 +445,18 @@ def auto_tile(graph, k: int = 32):
         return graph
 
     from ..tune import autotune
-    # r2-measured default: hybrid BSR (densify blocks ≥64 edges, 32-block
-    # DMA groups) + v2 edge residual — 6.9 Ge/s vs 1.6 for pure v2 on the
-    # reddit-sim bench graph.
-    cfg = dict(rb=256, ct=128, eb=512, version=3,
-               dense_threshold=64, g=32)
+    # r4-measured default: hybrid BSR2 (byte-exact global block stream)
+    # + static-S row-stream residual — wins both the dense headline
+    # regime (~2x over v3) and the density-representative regime
+    # (2.9 vs 0.6 Ge/s, scripts/bench_v5.py).
+    cfg = dict(rb=512, version=5, dense_threshold=128, S=8, g=8, gd=8)
     try:
         entry = autotune.lookup(autotune.signature_of(graph, k))
         if entry and entry.get("backend") == "pallas":
-            cfg = {f: entry[f] for f in ("rb", "ct", "eb")}
+            cfg = {f: entry[f]
+                   for f in ("rb", "ct", "eb", "dense_threshold", "g",
+                             "gd", "S") if f in entry}
             cfg["version"] = entry.get("version", 2)
-            for f in ("dense_threshold", "g", "gd"):
-                if f in entry:
-                    cfg[f] = entry[f]
         elif entry and entry.get("backend") == "xla":
             return graph  # measured: XLA wins on this graph
     except Exception:

@@ -9,21 +9,22 @@ select-chain gather (54%) and (b) chunk fill lost to the (rb, ct) cell
 partition (fill 0.76 → 0.13 for v3 residuals).  v4 removes both at the
 plan level:
 
-* **No column tiles.**  Edges are sorted by (row block, col) only; lane
-  groups are 128 *consecutive* edges of one row block, so group fill is
-  ~1 regardless of density (only the last group per block is padded).
-* **Dynamic-span gather walk.**  Each group records the 128-col x tile
-  its first edge lands in (``group_base``) and how many consecutive
-  tiles its edges span (``group_span``).  The kernel walks exactly
-  ``span`` source tiles of a fully VMEM-resident x (dynamic lane-offset
-  slices — verified supported by Mosaic, scripts/probe_mosaic.py), so
-  gather work tracks the *actual* column spread instead of a static
-  worst-case chain.
+* **No column-tile grid.**  Edges are sorted by (row block, window,
+  col); lane groups are 128 consecutive edges of one (row block,
+  S·128-col window) bucket — at low occupancy the group fill is set by
+  the window size S, not by a (rb, ct) cell partition.
+* **Static-S windowed gather.**  Each group records its window's first
+  128-col x tile (``group_base``); the kernel unrolls exactly S gather
+  visits over consecutive tiles of a fully VMEM-resident x (dynamic
+  lane-offset slices — verified supported by Mosaic,
+  scripts/probe_mosaic.py).  S is a *plan* parameter: on-chip ablation
+  showed Mosaic lowers dynamic-trip-count loops to ~200 ns + ~76 ns per
+  iteration of scalar-serialized while-loops, so the span must be
+  compile-time static (scripts/ablate_v4.py).
 * **Whole-x residency.**  x lives in VMEM as one (kt, C_pad) block:
   zero re-fetch, no per-cell DMA.  Graphs whose x exceeds the VMEM
-  budget are split into column **stripes**, one kernel launch per
-  stripe (outputs summed) — the TPU-shaped analog of the reference's
-  K-panel tuning (``/root/reference/autotuner/findbestk.py``).
+  budget are split into column **stripes** by the v5 hybrid builder,
+  one kernel launch per stripe (outputs summed).
 
 Reference lineage: plays the role of FusedMM's CSR OpenMP loop
 (``/root/reference/csrc/fusedMM.h:77-99``) in the sparse regime; the
@@ -59,25 +60,26 @@ class StreamPlanV4:
     """Row-block-major lane groups with dynamic gather windows.
 
     ``edges``: (ng + tail, 3, 1, 128) int32 — plane 0 = col −
-    group_base·128 (window-local), plane 1 = float32 value bit-cast,
-    plane 2 = row − block·rb.  Pad slots: col 0, value 0 (inert — the
-    one-hot folds values, so a zero value contributes nothing), row 0.
+    group_base·128 (window-local, in [0, S·128)), plane 1 = float32
+    value bit-cast, plane 2 = row − block·rb.  Pad slots: col 0, value
+    0 (inert — the one-hot folds values, so a zero value contributes
+    nothing), row 0.
     ``group_base``: (ng + tail,) int32 — first 128-col x tile of the
-    group's window (0 on pad groups).
-    ``group_span``: (ng + tail,) int32 — number of consecutive x tiles
-    the group's edges span (0 on pad groups: the walk loop is skipped).
+    group's S·128-col window (0 on pad groups).
     ``block_starts``: (nrb + 1,) int32 — group range per row block.
-    All three scalar arrays ride SMEM scalar prefetch.
+    Both scalar arrays ride SMEM scalar prefetch.
 
-    A v4 "plan" may be one stripe of a larger graph: ``col_offset`` /
-    ``num_cols_total`` locate the stripe (cols here are stripe-local).
+    A v4 "plan" may be one column stripe of a larger graph:
+    ``col_offset`` locates it (cols here are stripe-local; x must be
+    sliced to ``[col_offset, col_offset + num_cols)`` by the caller —
+    the v5 hybrid wrapper does).
     """
 
     edges: Optional[jax.Array]
     group_base: jax.Array
-    group_span: jax.Array
     block_starts: jax.Array
     rb: int = dataclasses.field(metadata=dict(static=True))
+    S: int = dataclasses.field(metadata=dict(static=True))
     ng: int = dataclasses.field(metadata=dict(static=True))
     nrb: int = dataclasses.field(metadata=dict(static=True))
     num_rows: int = dataclasses.field(metadata=dict(static=True))
@@ -88,9 +90,9 @@ class StreamPlanV4:
     kt: int = dataclasses.field(default=32, metadata=dict(static=True))
     # groups per DMA descriptor (amortizes the DMA-issue cost); <= _TAIL.
     gd: int = dataclasses.field(default=8, metadata=dict(static=True))
-    # diagnostic: total gather-tile visits (sum of spans) — the kernel's
-    # walk cost is proportional to this, not to nct.
-    n_visits: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # column offset of this stripe within the full graph (0 = unstriped)
+    col_offset: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
     # Deferred plans: ``edges`` is None and ``edge_of_slot`` holds, per
     # slot (group·128 + lane), the edge's position in the graph's padded
     # CSR/CSC arrays (-1 = pad).  materialize_v4_edges_device packs the
@@ -103,7 +105,9 @@ class StreamPlanV4:
 
     @property
     def nct(self) -> int:
-        return _cdiv(self.num_cols, _LANE)
+        # padded to a full window so the kernel's static S visits never
+        # slice past the resident x block
+        return _cdiv(self.num_cols, self.S * _LANE) * self.S
 
     @property
     def c_padded(self) -> int:
@@ -119,23 +123,30 @@ def build_plan_v4_arrays(
     num_rows: int, num_cols: int,
     rb: int = 256, ct: int = 0, eb: int = 0,  # ct/eb ignored (API parity)
     k: int = 32,
+    S: int = 8,
     gd: int = 8,
     orig_ids: Optional[np.ndarray] = None,
     defer_edges: bool = False,
+    col_offset: int = 0,
 ) -> StreamPlanV4:
     """Build the v4 plan from host COO arrays (any order).
 
+    ``S``: gather window width in 128-col tiles; the kernel unrolls S
+    static visits per group.  Groups are bucketed by (row block,
+    window) with windows aligned at S·128 — fill rises with S, visit
+    cost rises linearly with S; the autotuner searches it.
     ``k`` sizes the x K tile: kt = min(k_pad, 256) — the resident x
     block is (kt, C_pad) f32 and must fit VMEM; callers with large C
-    should split stripes (see ``build_tiling_from_numpy`` version=4).
+    split stripes (version=5 builder).
     ``orig_ids``: position of each input edge in the graph's padded
     CSR/CSC arrays (identity by default) — set when building over a
     subset (e.g. a hybrid residual) so deferred packing references the
-    full graph.
+    full graph.  ``col`` here is stripe-local when ``col_offset`` > 0;
+    deferred packing adds the offset back (global cols live on device).
     """
     del ct, eb
     assert rb % 8 == 0, "rb must be a sublane multiple"
-    assert 1 <= gd <= _TAIL
+    assert 1 <= gd <= _TAIL and S >= 1
     nnz = int(row.shape[0])
     nrb = max(1, _cdiv(num_rows, rb))
     k_pad = ((max(k, 1) + 31) // 32) * 32
@@ -145,58 +156,58 @@ def build_plan_v4_arrays(
         return StreamPlanV4(
             edges=np.zeros((1 + _TAIL, 3, 1, _LANE), np.int32),
             group_base=np.zeros(1 + _TAIL, np.int32),
-            group_span=np.zeros(1 + _TAIL, np.int32),
             block_starts=np.zeros(nrb + 1, np.int32),
-            rb=rb, ng=1, nrb=nrb, num_rows=num_rows, num_cols=num_cols,
-            fill=0.0, kt=kt, gd=gd)
+            rb=rb, S=S, ng=1, nrb=nrb, num_rows=num_rows,
+            num_cols=num_cols, fill=0.0, kt=kt, gd=gd,
+            col_offset=col_offset)
 
     row = np.asarray(row, np.int64)
     col = np.asarray(col, np.int64)
     val = np.asarray(val, np.float32)
     rbid = row // rb
-    order = np.lexsort((row, col, rbid))  # block-major, col-sorted
+    wid = col // (S * _LANE)
+    order = np.lexsort((row, col, wid, rbid))  # block-major, window, col
     row, col, val = row[order], col[order], val[order]
-    rbid = rbid[order]
+    rbid, wid = rbid[order], wid[order]
 
-    # lane groups: 128 consecutive edges, never crossing a block boundary
-    blk_counts = np.bincount(rbid, minlength=nrb)
-    blk_groups = -(-blk_counts // _LANE)          # ceil; 0 for empty blocks
+    # lane groups: 128 consecutive edges of one (block, window) bucket
+    bucket = rbid * (_cdiv(num_cols, S * _LANE) + 1) + wid
+    new_b = np.empty(nnz, bool)
+    new_b[0] = True
+    np.not_equal(bucket[1:], bucket[:-1], out=new_b[1:])
+    b_start = np.flatnonzero(new_b)
+    b_ord = np.cumsum(new_b) - 1
+    pos_in_b = np.arange(nnz, dtype=np.int64) - b_start[b_ord]
+    new_g = new_b.copy()
+    np.logical_or(new_g[1:], pos_in_b[1:] % _LANE == 0, out=new_g[1:])
+    group = np.cumsum(new_g) - 1
+    ng = int(group[-1]) + 1
+    lane = pos_in_b % _LANE
+
+    first_of_group = np.flatnonzero(new_g)
+    base = (wid[first_of_group] * S).astype(np.int32)
+    blk_of_group = rbid[first_of_group]
+    blk_counts = np.bincount(blk_of_group, minlength=nrb)
     block_starts = np.zeros(nrb + 1, np.int32)
-    np.cumsum(blk_groups, out=block_starts[1:])
-    ng = int(block_starts[-1])
+    np.cumsum(blk_counts, out=block_starts[1:])
 
-    blk_edge_start = np.zeros(nrb + 1, np.int64)
-    np.cumsum(blk_counts, out=blk_edge_start[1:])
-    pos_in_blk = np.arange(nnz, dtype=np.int64) - blk_edge_start[rbid]
-    group = block_starts[rbid].astype(np.int64) + pos_in_blk // _LANE
-    lane = pos_in_blk % _LANE
-
-    # per-group window: base tile of the first edge; span to the last
-    # (cols are sorted within a group, so first/last bound the window)
-    first_of_group = np.flatnonzero(np.r_[True, group[1:] != group[:-1]])
-    gfirst = col[first_of_group] // _LANE
-    glast = col[np.r_[first_of_group[1:] - 1, nnz - 1]] // _LANE
-    span = (glast - gfirst + 1).astype(np.int32)
-    base = gfirst.astype(np.int32)
-
-    local_col = (col - base[group].astype(np.int64) * _LANE).astype(np.int32)
+    local_col = (col - wid * (S * _LANE)).astype(np.int32)
     local_row = (row - rbid * rb).astype(np.int32)
 
     oid = order if orig_ids is None else np.asarray(orig_ids, np.int64)[order]
 
     group_base = np.concatenate([base, np.zeros(_TAIL, np.int32)])
-    group_span = np.concatenate([span, np.zeros(_TAIL, np.int32)])
     fill = float(nnz) / (ng * _LANE)
-    n_visits = int(span.sum())
 
     if defer_edges:
         eos = np.full((ng + _TAIL) * _LANE, -1, np.int32)
         eos[group * _LANE + lane] = oid.astype(np.int32)
         return StreamPlanV4(
-            edges=None, group_base=group_base, group_span=group_span,
+            edges=None, group_base=group_base,
             block_starts=block_starts,
-            rb=rb, ng=ng, nrb=nrb, num_rows=num_rows, num_cols=num_cols,
-            fill=fill, kt=kt, gd=gd, n_visits=n_visits, edge_of_slot=eos)
+            rb=rb, S=S, ng=ng, nrb=nrb, num_rows=num_rows,
+            num_cols=num_cols, fill=fill, kt=kt, gd=gd,
+            col_offset=col_offset, edge_of_slot=eos)
 
     cols_arr = np.zeros((ng, _LANE), np.int32)
     vals_arr = np.zeros((ng, _LANE), np.float32)
@@ -211,10 +222,10 @@ def build_plan_v4_arrays(
     edges[:ng, 2, 0] = rows_arr
 
     return StreamPlanV4(
-        edges=edges, group_base=group_base, group_span=group_span,
+        edges=edges, group_base=group_base,
         block_starts=block_starts,
-        rb=rb, ng=ng, nrb=nrb, num_rows=num_rows, num_cols=num_cols,
-        fill=fill, kt=kt, gd=gd, n_visits=n_visits)
+        rb=rb, S=S, ng=ng, nrb=nrb, num_rows=num_rows, num_cols=num_cols,
+        fill=fill, kt=kt, gd=gd, col_offset=col_offset)
 
 
 # ---------------------------------------------------------------------------
@@ -222,13 +233,14 @@ def build_plan_v4_arrays(
 # ---------------------------------------------------------------------------
 
 def _pack_v4_edges_impl(edge_of_slot, group_base, block_starts, row, col,
-                        val, *, rb: int, ng: int, nrb: int):
+                        val, *, rb: int, ng: int, nrb: int,
+                        col_offset: int):
     eos = edge_of_slot                                   # ((ng+tail)*128,)
     n_slots = eos.shape[0]
     valid = eos >= 0
     e = jnp.where(valid, eos, 0)
     r = jnp.take(row, e)
-    c = jnp.take(col, e)
+    c = jnp.take(col, e) - col_offset        # device cols are global
     v = jnp.where(valid, jnp.take(val, e), 0.0)
 
     grp = jnp.arange(n_slots, dtype=jnp.int32) // _LANE
@@ -248,7 +260,7 @@ def _pack_v4_edges_impl(edge_of_slot, group_base, block_starts, row, col,
 
 
 _pack_v4_edges = jax.jit(
-    _pack_v4_edges_impl, static_argnames=("rb", "ng", "nrb"))
+    _pack_v4_edges_impl, static_argnames=("rb", "ng", "nrb", "col_offset"))
 
 
 def materialize_v4_edges_device(plan: StreamPlanV4, row, col, val
@@ -260,5 +272,5 @@ def materialize_v4_edges_device(plan: StreamPlanV4, row, col, val
     edges = _pack_v4_edges(
         jnp.asarray(plan.edge_of_slot), jnp.asarray(plan.group_base),
         jnp.asarray(plan.block_starts), row, col, val,
-        rb=plan.rb, ng=plan.ng, nrb=plan.nrb)
+        rb=plan.rb, ng=plan.ng, nrb=plan.nrb, col_offset=plan.col_offset)
     return dataclasses.replace(plan, edges=edges)

@@ -1,0 +1,330 @@
+"""Hybrid BSR2 + row-stream SpMM plan (v5) — the r4 performance
+generation.
+
+The r3 bench exposed two structural costs in the v3 hybrid
+(scripts/ablate_v3.py, on v5e):
+
+* the BSR half pads every (superblock, block-col) cell's block list to
+  a multiple of the DMA group ``g`` — at density-representative
+  occupancy that nearly DOUBLES the densified bytes (23232 padded vs
+  11975 real blocks at threshold 96), and the (superblock, block-col)
+  grid itself burns a step per mostly-empty cell;
+* the residual rides the v2 edge kernel whose (rb, ct) cell partition
+  collapses to fill 0.13 in the sparse leftovers.
+
+v5 removes the cell structure from BOTH halves by making x fully
+VMEM-resident (stripes when it doesn't fit):
+
+* **BSR2**: dense 128×128 bf16 blocks stream globally in (superblock,
+  block-col, block-row) order — grid is (K-tile, superblock) only.
+  Each block's x tile is a dynamic lane-offset slice of the resident x
+  selected by a scalar-prefetched ``bc`` array; per-cell padding is
+  gone (only the global tail pads to ``g``).
+* **Residual**: the v4 static-S row-stream plan
+  (:mod:`isplib_tpu.sparse.tiling_v4`).
+
+Both halves produce (rows, K) partials that add.  Column **stripes**
+bound the resident x: each stripe owns the blocks/groups whose columns
+fall in its range and is a separate kernel launch; per-stripe partials
+add.  Reference lineage: same FusedMM role as v3
+(``/root/reference/csrc/fusedMM.h:77-99``) with the block/edge split
+now byte-exact rather than cell-padded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tiling_v4 import StreamPlanV4, build_plan_v4_arrays
+
+__all__ = ["BSR2Plan", "HybridPlanV5", "build_plan_v5_arrays"]
+
+_BS = 128
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSR2Plan:
+    """Globally-streamed dense 128×128 blocks over a VMEM-resident x.
+
+    ``blocks``: (nb // g, 128, g·128) bf16 — same grouped Aᵀ layout as
+    the v3 BSRPlan (group b member j holds
+    ``blocks[b, c_local, j·128 + r_local] = A[row, col]``), so the
+    deferred on-device scatter fill is shared.
+    ``rb_locals``: (nb,) int32 — row-block index within the superblock.
+    ``bcs``: (nb,) int32 — block-col (stripe-local) of each block: the
+    kernel slices the resident x at ``bcs[b]·128`` per member.
+    ``super_starts``: (n_super + 1,) int32 — *group* range per
+    superblock (blocks of one superblock are contiguous and padded to a
+    multiple of g with inert zero blocks: rbl 0, bc 0).
+    ``rank``: deferred plans only — (n_br·n_bc_global,) int32 block →
+    slot map consumed by the on-device scatter (−1 = not densified).
+    """
+
+    blocks: Optional[jax.Array]
+    rb_locals: jax.Array
+    bcs: jax.Array
+    super_starts: jax.Array
+    nb: int = dataclasses.field(metadata=dict(static=True))  # incl. padding
+    nrb_s: int = dataclasses.field(metadata=dict(static=True))
+    n_super: int = dataclasses.field(metadata=dict(static=True))
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    kt: int = dataclasses.field(default=32, metadata=dict(static=True))
+    g: int = dataclasses.field(default=8, metadata=dict(static=True))
+    col_offset: int = dataclasses.field(default=0,
+                                        metadata=dict(static=True))
+    rank: Optional[jax.Array] = None
+
+    @property
+    def n_bc(self) -> int:
+        return _cdiv(self.num_cols, _BS)
+
+    @property
+    def r_padded(self) -> int:
+        return self.n_super * self.nrb_s * _BS
+
+    @property
+    def c_padded(self) -> int:
+        return self.n_bc * _BS
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HybridPlanV5:
+    """Per-stripe BSR2 + v4 stream halves; all partials add.
+
+    ``bsr2s`` / ``streams``: tuples with one entry per column stripe
+    (either may be empty or hold ``None`` for a stripe with no such
+    edges).  ``stripe_bounds``: static (start, end) col ranges.
+    """
+
+    bsr2s: Tuple[Optional[BSR2Plan], ...]
+    streams: Tuple[Optional[StreamPlanV4], ...]
+    stripe_bounds: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        metadata=dict(static=True))
+    num_rows: int = dataclasses.field(metadata=dict(static=True))
+    num_cols: int = dataclasses.field(metadata=dict(static=True))
+    dense_edges: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
+    sparse_edges: int = dataclasses.field(default=0,
+                                          metadata=dict(static=True))
+
+    @property
+    def nc(self) -> int:  # autotuner/bench diagnostic parity
+        return (sum(p.ng for p in self.streams if p is not None)
+                + sum(p.nb for p in self.bsr2s if p is not None))
+
+    @property
+    def fill(self) -> float:
+        ngs = [p for p in self.streams if p is not None]
+        if not ngs:
+            return 1.0
+        tot = sum(p.ng for p in ngs)
+        return sum(p.fill * p.ng for p in ngs) / max(tot, 1)
+
+    @property
+    def fill_fraction(self) -> float:
+        return self.fill
+
+
+def build_plan_v5_arrays(
+    row: np.ndarray, col: np.ndarray, val: np.ndarray,
+    num_rows: int, num_cols: int,
+    rb: int = 512, ct: int = 0, eb: int = 0,  # ct/eb ignored (API parity)
+    k: int = 32,
+    dense_threshold: int = 64,
+    S: int = 8,
+    g: int = 8,
+    gd: int = 8,
+    max_block_bytes: int = 2 << 30,
+    x_vmem_bytes: int = 10 << 20,
+    vmem_out_bytes: int = 4 << 20,
+    defer_edges: bool = False,
+) -> HybridPlanV5:
+    """Build the v5 hybrid plan from host COO arrays.
+
+    ``dense_threshold``: min edges for a 128×128 block to densify.
+    The byte-exact crossover on v5e is ~55 edges/block (32 KiB block at
+    819 GB/s ≈ 40 ns vs ~0.7 ns/edge streaming).
+    ``S``: residual gather window width in tiles (v4 static span).
+    ``x_vmem_bytes``: resident-x budget — column stripes are cut so
+    ``kt · stripe_cols · 4`` fits.
+    ``defer_edges``: defer BOTH halves' device payloads (blocks via the
+    rank scatter, stream edges via edge_of_slot packing).
+    """
+    del ct, eb
+    nnz = int(row.shape[0])
+    row = np.asarray(row, np.int64)
+    col = np.asarray(col, np.int64)
+    val = np.asarray(val, np.float32)
+    n_br = _cdiv(num_rows, _BS)
+    n_bc = _cdiv(num_cols, _BS)
+    k_pad = ((max(k, 1) + 31) // 32) * 32
+    kt = min(k_pad, 256)
+    nrb_s = max(1, min(n_br, vmem_out_bytes // (kt * _BS * 4)))
+    n_super = _cdiv(n_br, nrb_s)
+
+    # ---- column stripes: resident x must fit the VMEM budget ----------
+    max_stripe_cols = max(S * _BS, (x_vmem_bytes // (kt * 4))
+                          // (S * _BS) * (S * _BS))
+    n_stripes = max(1, _cdiv(n_bc * _BS, max_stripe_cols))
+    stripe_bounds = []
+    for s in range(n_stripes):
+        c0 = s * max_stripe_cols
+        c1 = min((s + 1) * max_stripe_cols, num_cols)
+        stripe_bounds.append((c0, c1))
+
+    # ---- dense/sparse split (global 128x128 block counts) -------------
+    dense_edges = 0
+    bid = None
+    counts = None
+    if nnz:
+        from .. import native
+        if (native.available() and native.has_bsr()
+                and bool(np.all(row[1:] >= row[:-1]))):
+            counts = native.bsr_count(row, col, _BS, n_br, n_bc)
+        else:
+            bid = (row // _BS) * n_bc + (col // _BS)
+            counts = np.bincount(bid, minlength=n_br * n_bc)
+        thr = max(dense_threshold, 1)
+        while True:
+            nb_real = int(np.count_nonzero(counts >= thr))
+            if nb_real * _BS * _BS * 2 <= max_block_bytes or nb_real == 0:
+                break
+            thr *= 2
+        if bid is None:
+            bid = (row // _BS) * n_bc + (col // _BS)
+        dense_b = counts >= thr
+        is_dense = dense_b[bid]
+        dense_edges = int(is_dense.sum())
+
+    bsr2s: list = []
+    streams: list = []
+    for (c0, c1) in stripe_bounds:
+        if nnz:
+            in_stripe = (col >= c0) & (col < c1)
+            d_mask = in_stripe & is_dense
+            r_mask = in_stripe & ~is_dense
+        else:
+            d_mask = r_mask = np.zeros(0, bool)
+
+        # ---- BSR2 half -------------------------------------------------
+        bsr = None
+        if nnz and d_mask.any():
+            s_bids = np.unique(bid[d_mask])
+            br = s_bids // n_bc
+            bc = s_bids % n_bc
+            sid = br // nrb_s
+            order = np.lexsort((br, bc, sid))
+            s_bids, br, bc, sid = (s_bids[order], br[order], bc[order],
+                                   sid[order])
+            # pad each superblock's block list to a multiple of g
+            cnt = np.bincount(sid, minlength=n_super)
+            cnt_g = -(-cnt // g) * g
+            starts = np.zeros(n_super + 1, np.int64)
+            starts[1:] = np.cumsum(cnt)
+            starts_g = np.zeros(n_super + 1, np.int64)
+            starts_g[1:] = np.cumsum(cnt_g)
+            pos = np.arange(len(s_bids)) - starts[sid]
+            new_pos = starts_g[sid] + pos
+            nb = int(starts_g[-1])
+
+            rank = np.full(n_br * n_bc, -1, np.int32)
+            rank[s_bids] = new_pos.astype(np.int32)
+            rb_locals = np.zeros(nb, np.int32)
+            rb_locals[new_pos] = (br - sid * nrb_s).astype(np.int32)
+            bcs = np.zeros(nb, np.int32)
+            bcs[new_pos] = (bc - c0 // _BS).astype(np.int32)
+            super_starts = (starts_g // g).astype(np.int32)
+
+            blocks = None
+            if not defer_edges:
+                blocks = _densify_host(
+                    row[d_mask], col[d_mask] - c0, val[d_mask],
+                    rank_local=_stripe_rank(rank, n_br, n_bc, c0, c1),
+                    n_bc_local=_cdiv(c1 - c0, _BS), nb=nb, g=g)
+            bsr = BSR2Plan(
+                blocks=blocks, rb_locals=rb_locals, bcs=bcs,
+                super_starts=super_starts, nb=nb, nrb_s=nrb_s,
+                n_super=n_super, num_rows=num_rows, num_cols=c1 - c0,
+                kt=kt, g=g, col_offset=c0,
+                rank=rank if defer_edges else None)
+        bsr2s.append(bsr)
+
+        # ---- stream (residual) half ------------------------------------
+        stream = None
+        if nnz and r_mask.any():
+            r_ids = np.flatnonzero(r_mask)
+            stream = build_plan_v4_arrays(
+                row[r_ids], col[r_ids] - c0, val[r_ids],
+                num_rows, c1 - c0, rb=rb, k=k, S=S, gd=gd,
+                orig_ids=r_ids, defer_edges=defer_edges, col_offset=c0)
+        streams.append(stream)
+
+    return HybridPlanV5(
+        bsr2s=tuple(bsr2s), streams=tuple(streams),
+        stripe_bounds=tuple(stripe_bounds),
+        num_rows=num_rows, num_cols=num_cols,
+        dense_edges=dense_edges, sparse_edges=nnz - dense_edges)
+
+
+def _stripe_rank(rank: np.ndarray, n_br: int, n_bc: int, c0: int,
+                 c1: int) -> np.ndarray:
+    """Global rank map restricted to a stripe, re-indexed to the
+    stripe-local (n_br × n_bc_local) block grid."""
+    bc0, bc1 = c0 // _BS, _cdiv(c1, _BS)
+    return (rank.reshape(n_br, n_bc)[:, bc0:bc1]).reshape(-1)
+
+
+def _densify_host(row, col, val, rank_local, n_bc_local, nb, g):
+    """Host-side bf16 block fill in the grouped kernel layout (tests /
+    no-device builds; production defers to the on-device scatter)."""
+    import ml_dtypes
+    bid = (row // _BS) * n_bc_local + (col // _BS)
+    p = rank_local[bid]
+    blocks = np.zeros((nb, _BS, _BS), np.float32)
+    np.add.at(blocks, (p, col % _BS, row % _BS), val)
+    blocks = blocks.astype(ml_dtypes.bfloat16)
+    return (blocks.reshape(nb // g, g, _BS, _BS)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb // g, _BS, g * _BS).copy())
+
+
+# ---------------------------------------------------------------------------
+# On-device materialization (deferred plans)
+# ---------------------------------------------------------------------------
+
+def materialize_v5_device(plan: HybridPlanV5, row, col, val
+                          ) -> HybridPlanV5:
+    """Fill all deferred halves from the resident device edge arrays."""
+    from .tiling_v3 import _scatter_blocks
+    from .tiling_v4 import materialize_v4_edges_device
+
+    bsr2s = []
+    for bsr in plan.bsr2s:
+        if bsr is not None and bsr.blocks is None:
+            assert bsr.rank is not None, "deferred plan lost its rank map"
+            n_bc_global = _cdiv(plan.num_cols, _BS)
+            blocks = _scatter_blocks(
+                jnp.asarray(bsr.rank), row, col, val,
+                n_bc=n_bc_global, nb=bsr.nb, g=bsr.g,
+                num_rows=plan.num_rows, num_cols=plan.num_cols)
+            bsr = dataclasses.replace(bsr, blocks=blocks)
+        bsr2s.append(bsr)
+    streams = []
+    for st in plan.streams:
+        if st is not None and st.edges is None:
+            st = materialize_v4_edges_device(st, row, col, val)
+        streams.append(st)
+    return dataclasses.replace(plan, bsr2s=tuple(bsr2s),
+                               streams=tuple(streams))

@@ -78,23 +78,21 @@ DEFAULT_CONFIGS = [
     # dicts of build_tiling_from_numpy kwargs — spanning the VPU-work vs
     # chunk-padding tradeoff (analog of the reference's K sweep
     # findbestk.py:34 and CUDA block-size sweep timer.cpp:10-22).
-    # version 3 = hybrid BSR + edge residual (fastest on dense-ish
-    # graphs); version 2 = column-major streaming; version 1 = row-block
-    # grid kernel.  The large-(rb, ct) v2 entries target low-block-
-    # occupancy graphs, where small buckets leave chunks mostly padding
-    # and per-chunk DMA-issue overhead dominates.
+    # version 5 = hybrid BSR2 (global block stream over resident x) +
+    # static-S row-stream residual — the r4 generation; it wins both the
+    # dense regime (headline graph) and the low-occupancy regime
+    # (density-rep: 2.9 vs 0.6 Ge/s for v2/v3, scripts/bench_v5.py).
+    # version 3 = celled BSR hybrid; version 2 = column-major streaming;
+    # version 1 = row-block grid kernel.
+    dict(rb=512, version=5, dense_threshold=128, S=8, g=8, gd=8),
+    dict(rb=512, version=5, dense_threshold=64, S=8, g=8, gd=8),
+    dict(rb=512, version=5, dense_threshold=192, S=8, g=8, gd=8),
+    dict(rb=256, version=5, dense_threshold=128, S=4, g=8, gd=8),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=64, g=32),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=96, g=16),
-    dict(rb=256, ct=128, eb=512, version=3, dense_threshold=256, g=16),
-    dict(rb=256, ct=512, eb=512, version=3, dense_threshold=96, g=32,
-         gd=4),
-    dict(rb=256, ct=128, eb=512, version=2),
     dict(rb=256, ct=512, eb=512, version=2),
-    dict(rb=256, ct=512, eb=512, version=2, gd=4),
     dict(rb=512, ct=512, eb=512, version=2, gd=4),
-    dict(rb=256, ct=1024, eb=512, version=2, gd=4),
     dict(rb=512, ct=1024, eb=512, version=2, gd=8),
-    dict(rb=512, ct=512, eb=2048, version=2),
     dict(rb=256, ct=512, eb=512, version=1),
 ]
 
@@ -171,7 +169,7 @@ def tune_spmm(
     record(key, best)
     if best["backend"] == "pallas":
         cfg = {f: best[f] for f in ("rb", "ct", "eb", "version",
-                                    "dense_threshold", "g", "gd")
+                                    "dense_threshold", "g", "gd", "S")
                if f in best}
         # production build: backward plan + in-kernel max/min arg plan,
         # persisted under the graph signature (VERDICT r2 next #4)

@@ -25,12 +25,16 @@ def drain(x) -> float:
     return float(jnp.sum(x))
 
 
-def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False
-               ) -> float:
+def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False,
+               repeats: int = 3) -> float:
     """Seconds per call of ``f`` (whose output must feed its input).
 
     Subtracts single-call + readback latency measured separately, so the
-    result reflects steady-state device throughput.
+    result reflects steady-state device throughput.  The chain is run
+    ``repeats`` times and the MINIMUM per-call estimate is returned:
+    tunneled-TPU chains show ±20% run-to-run noise (queue keep-alives,
+    host scheduling), and the minimum is the standard noise-robust
+    estimator for a deterministic workload.
     """
     def say(msg):
         if verbose:
@@ -48,11 +52,21 @@ def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False
     drain(o)
     lat1 = time.perf_counter() - t0
     say(f"single-call latency {lat1 * 1e3:.1f} ms")
-    t0 = time.perf_counter()
-    o = x0
-    for _ in range(iters):
-        o = f(o)
-    drain(o)
-    total = time.perf_counter() - t0
-    say(f"chain of {iters} done")
-    return max((total - lat1) / max(iters - 1, 1), 1e-9)
+    best = None
+    for r in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        o = x0
+        for _ in range(iters):
+            o = f(o)
+        drain(o)
+        total = time.perf_counter() - t0
+        say(f"chain {r + 1}/{repeats} of {iters} done")
+        per_call = (total - lat1) / max(iters - 1, 1)
+        if per_call <= 0:
+            # tiny graphs / few iters: the tunnel latency estimate can
+            # exceed the whole chain — report the un-subtracted mean
+            # instead of a clamped epsilon (which once produced a
+            # 2.3e15 edges/s headline)
+            per_call = total / iters
+        best = per_call if best is None else min(best, per_call)
+    return best

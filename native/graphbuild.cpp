@@ -347,6 +347,15 @@ void isplib_rmat(int64_t num_edges, int32_t num_nodes, uint64_t seed,
 static inline uint16_t f32_to_bf16(float f) {
     uint32_t x;
     std::memcpy(&x, &f, 4);
+    if ((x & 0x7F800000u) == 0x7F800000u) {
+        // NaN/Inf: pass the truncated bits through (quieting NaNs) —
+        // the rounding carry below would otherwise overflow the all-ones
+        // exponent into the sign bit (ADVICE r3), silently turning NaN
+        // edge values into -0.0/Inf.  Matches ml_dtypes semantics.
+        uint16_t hi = (uint16_t)(x >> 16);
+        if ((x & 0x007FFFFFu) != 0 && (hi & 0x7Fu) == 0) hi |= 0x40u;
+        return hi;
+    }
     const uint32_t lsb = (x >> 16) & 1u;
     x += 0x7FFFu + lsb;  // round to nearest even
     return (uint16_t)(x >> 16);

@@ -43,7 +43,6 @@ def test_v4_plan_invariants(rng, rb, shape, nnz):
 
     edges = np.asarray(plan.edges)
     base = np.asarray(plan.group_base)
-    span = np.asarray(plan.group_span)
     bs = np.asarray(plan.block_starts)
     assert bs[-1] == plan.ng
     cols_l = edges[:, 0, 0]
@@ -61,7 +60,7 @@ def test_v4_plan_invariants(rng, rb, shape, nnz):
         gr = blk_of_group[g] * rb + rows_l[g][live]
         gc = base[g] * 128 + cols_l[g][live]
         assert (cols_l[g][live] >= 0).all()
-        assert (cols_l[g][live] < span[g] * 128).all()
+        assert (cols_l[g][live] < plan.S * 128).all()
         got.extend(zip(gr.tolist(), gc.tolist(), vals_p[g][live].tolist()))
     want = sorted(zip(row.tolist(), col.tolist(), val.tolist()))
     assert sorted(got) == [w for w in want if w[2] != 0]
