@@ -321,6 +321,70 @@ def bench_spmm(graph, k: int, iters: int, backend: str,
     return chain_time(f, x, iters, verbose=True)
 
 
+def bench_shard_overhead(graph, np_arrays, k: int, iters: int, bw: float,
+                         t_start: float):
+    """mesh(1) sanity: tiled SHARDED SpMM vs the same plain tiled SpMM on
+    one chip (the r2 done-criterion: shard-path overhead <20%), plus an
+    analytic halo-bytes/ICI-time scaling model for d=2..16 so the >=80%
+    multi-chip efficiency claim has arithmetic behind it (VERDICT r3
+    next #3)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from isplib_tpu.dist.partition import partition_rows
+    from isplib_tpu.dist.spmm_dist import spmm_sharded
+    from isplib_tpu.kernels.spmm_pallas_v2 import spmm_tiled_v2
+    from isplib_tpu.sparse.tiling_v2 import build_plan_v2_arrays
+    from isplib_tpu.utils.timing import chain_time
+
+    nnz = graph.nnz
+    row = np_arrays["row"][:nnz].astype(np.int64)
+    col = np_arrays["col"][:nnz].astype(np.int64)
+    val = np_arrays["value"][:nnz].astype(np.float32)
+    n = graph.num_rows
+    cfg = dict(rb=512, ct=1024, eb=512, k=k)
+
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(n, k)).astype(np.float32))
+
+    # plain tiled v2 (the kernel generation the shard plans use)
+    from isplib_tpu.utils.transfer import tree_device_put
+    plain = tree_device_put(build_plan_v2_arrays(
+        row, col, val, n, n, **cfg))
+    jf = jax.jit(lambda x_, p_: spmm_tiled_v2(p_, x_)[: x_.shape[0]]
+                 * 1e-3)
+    t_plain = chain_time(lambda x_: jf(x_, plain), x, iters)
+
+    # mesh(1) sharded path through the same v2 kernels
+    mesh1 = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    sg = partition_rows(row, col, val, n, num_shards=1,
+                        tiling=dict(**cfg))
+    js = jax.jit(lambda x_, s_: spmm_sharded(s_, x_, mesh=mesh1) * 1e-3)
+    t_shard = chain_time(lambda x_: js(x_, sg), x, iters)
+    ovh = (t_shard - t_plain) / t_plain * 100
+    log(f"shard overhead mesh(1): plain {t_plain * 1e3:.3f} ms vs "
+        f"sharded {t_shard * 1e3:.3f} ms → {ovh:+.1f}% "
+        f"({'OK <20%' if ovh < 20 else 'HIGH'}) "
+        f"[{time.time() - t_start:.0f}s]")
+
+    # analytic ICI model: halo bytes per device per layer vs local compute
+    # time at the measured single-chip rate.  ICI assumption: 45 GB/s
+    # usable per link x 2 links on a v5e ring slice = 90 GB/s per chip.
+    ici_bw = 90e9
+    rate = nnz / t_plain  # edges/s at the measured single-chip speed
+    for d in (2, 4, 8, 16):
+        sgd = partition_rows(row, col, val, n, num_shards=d, device=False)
+        halo_bytes = sgd.num_shards * sgd.halo * k * 4  # recv per device
+        t_ici = 2 * halo_bytes / ici_bw                 # send + recv
+        t_cmp = (nnz / d) / rate
+        eff = t_cmp / max(t_cmp, t_ici)
+        log(f"  scaling model d={d}: halo={sgd.halo}/pair "
+            f"({sgd.halo_fraction * 100:.0f}% halo edges), "
+            f"ICI {2 * halo_bytes / 1e6:.1f} MB → {t_ici * 1e3:.2f} ms "
+            f"vs compute {t_cmp * 1e3:.2f} ms → "
+            f"overlap-efficiency ≥{eff * 100:.0f}%")
+
+
 def bench_gcn_epoch(tiled, x, y, train_mask, test_mask, epochs: int,
                     backend: str):
     import dataclasses
@@ -355,6 +419,7 @@ def main():
     ap.add_argument("--skip-gcn", action="store_true")
     ap.add_argument("--skip-densrep", action="store_true")
     ap.add_argument("--skip-bwd", action="store_true")
+    ap.add_argument("--skip-shard", action="store_true")
     ap.add_argument("--rb", type=int, default=512)
     ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
@@ -473,8 +538,18 @@ def main():
             del dt_g
         del dgraph
 
+    # ---- stage 3b: shard overhead on mesh(1) + ICI scaling model -------
+    if not args.skip_shard:
+        bench_shard_overhead(graph, np_arrays, args.k, args.iters, bw,
+                             t_start)
+
     # ---- stage 4: GCN epoch with a learnable signal --------------------
     if not args.skip_gcn:
+        # free stage-1 device buffers first: at --scale 1.0 two resident
+        # 115M-edge graphs + plans exceed HBM (observed OOM)
+        import gc
+        del graph, tiled
+        gc.collect()
         gtag = f"{base}_gcnsig_s{args.scale}_m{args.edge_multiple}"
         gnp = _load_or_gen(
             gtag, lambda: gen_gcnsig_graph(

@@ -86,6 +86,10 @@ class ShardedGraph:
     halo_edges: int = dataclasses.field(default=0,
                                         metadata=dict(static=True))
     plans: Optional[tuple] = None  # (loc_fwd, loc_bwd, halo_fwd, halo_bwd)
+    # with-eids stacked plans (loc, halo) for the in-kernel max/min arg
+    # path; arg ids index the shard-local row_loc/col_loc (resp. *_halo)
+    # arrays.  Built alongside ``plans`` when tiling= is given.
+    plans_mm: Optional[tuple] = None
 
     @property
     def halo_fraction(self) -> float:
@@ -108,9 +112,12 @@ def _stack_plans(plans: list):
         cs = np.asarray(p.cell_starts).copy()
         if p.nc < nc_max:
             pad = nc_max - p.nc
-            e = np.concatenate(
-                [e, np.zeros((pad,) + e.shape[1:], e.dtype)], axis=0)
-            r = np.concatenate([r, np.zeros(pad, r.dtype)])
+            epad = np.zeros((pad,) + e.shape[1:], e.dtype)
+            if e.shape[1] == 4:
+                epad[:, 3] = -1  # with-eids plans: pad slots are no-edge
+            e = np.concatenate([e[:p.nc], epad, e[p.nc:]], axis=0)
+            r = np.concatenate([r[:p.nc], np.zeros(pad, r.dtype),
+                                r[p.nc:]])
             cs[-1] = nc_max  # pad chunks live in the last grid cell
         edges.append(e)
         rbl.append(r)
@@ -153,6 +160,31 @@ def _build_shard_plans(loc_sets: list, halo_sets: list, rps: int,
         halo_bwd.append(plan(hc, hr, hv, halo_space, rps))
     return tuple(_stack_plans(p)
                  for p in (loc_fwd, loc_bwd, halo_fwd, halo_bwd))
+
+
+def _build_shard_minmax_plans(loc_sets: list, halo_sets: list, rps: int,
+                              halo_space: int, tiling: dict):
+    """Per-shard with-eids (local, halo) stacked plans for the in-kernel
+    max/min arg path (VERDICT r3 next #6).  Arg ids index each shard's
+    local/halo edge sets (identity eids)."""
+    from ..sparse.tiling_v2 import build_plan_v2_arrays
+
+    cfg = dict(rb=tiling.get("rb", 128), ct=tiling.get("ct", 128),
+               eb=tiling.get("eb", 512), k=tiling.get("k", 32),
+               vmem_out_bytes=tiling.get("vmem_out_bytes", 2 << 20),
+               with_eids=True)
+
+    loc_arg, halo_arg = [], []
+    for (lr, lc, lv), (hr, hc, hv) in zip(loc_sets, halo_sets):
+        loc_arg.append(build_plan_v2_arrays(lr, lc, lv, rps, rps, **cfg))
+        halo_arg.append(build_plan_v2_arrays(hr, hc, hv, rps, halo_space,
+                                             **cfg))
+    import dataclasses as dc
+    # eid_pos is per-shard-variable-length (SDDMM writeback only) — drop
+    # it before stacking
+    loc_arg = [dc.replace(p, eid_pos=None) for p in loc_arg]
+    halo_arg = [dc.replace(p, eid_pos=None) for p in halo_arg]
+    return _stack_plans(loc_arg), _stack_plans(halo_arg)
 
 
 def partition_rows(
@@ -300,10 +332,14 @@ def partition_rows(
               file=sys.stderr)
 
     plans = None
+    plans_mm = None
     if tiling is not None:
         from ..utils.transfer import tree_device_put
         plans = tree_device_put(_build_shard_plans(
             loc_sets, halo_sets, rps, halo_sentinel, dict(tiling)))
+        if tiling.get("minmax", True):
+            plans_mm = tree_device_put(_build_shard_minmax_plans(
+                loc_sets, halo_sets, rps, halo_sentinel, dict(tiling)))
 
     conv = jnp.asarray if device else (lambda a: a)
     return ShardedGraph(
@@ -323,4 +359,5 @@ def partition_rows(
         local_edges=n_loc,
         halo_edges=n_halo,
         plans=plans,
+        plans_mm=plans_mm,
     )

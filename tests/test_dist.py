@@ -120,10 +120,12 @@ def test_sharded_gcn_learns(rng, mesh):
         set_mesh(None)
 
 
-@pytest.mark.parametrize("reduce", ["sum", "mean"])
+@pytest.mark.parametrize("reduce", ["sum", "mean", "max", "min"])
 def test_sharded_tiled_vs_single(rng, mesh, reduce):
     """tiling=... routes the shard-local halves through the Pallas v2
-    kernels (interpret mode on CPU) — parity with the XLA oracle."""
+    kernels (interpret mode on CPU) — parity with the XLA oracle.
+    max/min run the in-kernel arg kernels with a presence-aware
+    local/halo combine (VERDICT r3 next #6)."""
     row, col, vals, n = make_coo(rng, n=600, nnz=5000)
     g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
                         edge_multiple=64)
@@ -195,3 +197,30 @@ def test_partition_d64_build_time(rng):
     # all shards' send lists reference only locally-owned rows (or pad)
     send = np.asarray(sg.send_ids)
     assert send.min() >= 0 and send.max() <= sg.rows_per_shard
+
+
+@pytest.mark.parametrize("reduce", ["max", "min"])
+def test_sharded_tiled_minmax_grad(rng, mesh, reduce):
+    """Gradients through the tiled sharded max/min route only through
+    the winning edges (parity with the single-device arg backward)."""
+    row, col, vals, n = make_coo(rng, n=320, nnz=2500)
+    g = from_edge_index(np.stack([col, row]), num_nodes=n, edge_value=vals,
+                        edge_multiple=64)
+    sg = partition_rows(row, col, vals, n, num_shards=8, edge_multiple=64,
+                        halo_multiple=16,
+                        tiling=dict(rb=128, ct=128, eb=128, k=16))
+    assert sg.plans_mm is not None
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    probe = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+
+    def loss_sharded(x_):
+        return jnp.sum(spmm_sharded(sg, x_, reduce=reduce, mesh=mesh)
+                       * probe)
+
+    def loss_single(x_):
+        return jnp.sum(spmm(g, x_, reduce=reduce, backend="xla") * probe)
+
+    got = np.asarray(jax.grad(loss_sharded)(x))
+    want = np.asarray(jax.grad(loss_single)(x))
+    scale = np.abs(want).max() + 1e-6
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * scale)
