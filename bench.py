@@ -293,7 +293,7 @@ def gen_gcnsig_graph(num_nodes: int, num_edges: int, num_classes: int,
 # ---------------------------------------------------------------------------
 
 def bench_spmm(graph, k: int, iters: int, backend: str,
-               with_grad: bool = False) -> float:
+               with_grad: bool = False, reduce: str = "sum") -> float:
     """Seconds per SpMM call (chained measurement)."""
     import jax
     import jax.numpy as jnp
@@ -313,9 +313,9 @@ def bench_spmm(graph, k: int, iters: int, backend: str,
         # the forward entirely (VERDICT r2 weak #2).
         jf = jax.jit(jax.grad(
             lambda x_, g_: 0.5e-6 * jnp.sum(
-                spmm(g_, x_, reduce="sum", backend=backend) ** 2)))
+                spmm(g_, x_, reduce=reduce, backend=backend) ** 2)))
     else:
-        jf = jax.jit(lambda x_, g_: spmm(g_, x_, reduce="sum",
+        jf = jax.jit(lambda x_, g_: spmm(g_, x_, reduce=reduce,
                                          backend=backend) * 1e-3)
     f = lambda x_: jf(x_, graph)
     return chain_time(f, x, iters, verbose=True)
@@ -420,6 +420,7 @@ def main():
     ap.add_argument("--skip-densrep", action="store_true")
     ap.add_argument("--skip-bwd", action="store_true")
     ap.add_argument("--skip-shard", action="store_true")
+    ap.add_argument("--skip-minmax", action="store_true")
     ap.add_argument("--rb", type=int, default=512)
     ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
@@ -495,6 +496,24 @@ def main():
                            args.backend, with_grad=True)
         log(f"SpMM fwd+bwd (x-dependent loss): {t_bwd * 1e3:.3f} ms "
             f"[{time.time() - t_start:.0f}s]")
+
+    # ---- stage 2b: max-reduce through the in-kernel arg path ----------
+    if not args.skip_minmax:
+        t0 = time.time()
+        if getattr(tiled, "fwd_arg", None) is not None:
+            mm_tiled = tiled  # tune path already built the arg plan
+        else:
+            mm_tiled = build_tiling_from_numpy(
+                graph, np_arrays, k=args.k, cache_tag=tag,
+                build_backward=False, build_minmax=True, **cfg)
+        t_max = bench_spmm(mm_tiled, args.k, args.iters, args.backend,
+                           reduce="max")
+        log(f"SpMM(max, K={args.k}, in-kernel args): {t_max * 1e3:.3f} ms "
+            f"→ {nnz / t_max / 1e9:.3f} Ge/s "
+            f"[plan {time.time() - t0:.0f}s tot "
+            f"{time.time() - t_start:.0f}s]")
+        if mm_tiled is not tiled:
+            del mm_tiled
 
     # ---- stage 3: density-representative graph -------------------------
     if not args.skip_densrep:

@@ -103,18 +103,34 @@ def _cdiv(a: int, b: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bsr2_call(plan: BSR2Plan, x: jax.Array, interpret: bool) -> jax.Array:
+    # K wider than the plan's kt runs as an OUTER loop of single-K-tile
+    # launches — a K grid axis makes Pallas double-buffer the resident-x
+    # block (observed compile-time VMEM OOM at K=41 on the full graph).
     k = x.shape[1]
-    g, nrb_s, n_super = plan.g, plan.nrb_s, plan.n_super
     kt = min(plan.kt, _round_up(k, 32))
     n_kt = _cdiv(_round_up(k, 32), kt)
-    k_pad = n_kt * kt
+    if n_kt > 1:
+        outs = []
+        for t in range(n_kt):
+            k0 = t * kt
+            xs = jax.lax.dynamic_slice_in_dim(
+                x, k0, min(kt, x.shape[1] - k0), axis=1)
+            outs.append(_bsr2_one(plan, xs, interpret))
+        return jnp.concatenate(outs, axis=1)[:, :k]
+    return _bsr2_one(plan, x, interpret)
 
-    xt = jnp.zeros((k_pad, plan.c_padded), jnp.float32)
+
+def _bsr2_one(plan: BSR2Plan, x: jax.Array, interpret: bool) -> jax.Array:
+    k = x.shape[1]
+    g, nrb_s, n_super = plan.g, plan.nrb_s, plan.n_super
+    kt = _round_up(k, 32)
+
+    xt = jnp.zeros((kt, plan.c_padded), jnp.float32)
     xt = jax.lax.dynamic_update_slice(xt, x.T.astype(jnp.float32), (0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_kt, n_super),
+        grid=(1, n_super),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # blocks (HBM)
             pl.BlockSpec((kt, plan.c_padded),
@@ -131,23 +147,23 @@ def _bsr2_call(plan: BSR2Plan, x: jax.Array, interpret: bool) -> jax.Array:
     )
 
     nb = plan.nb
-    flops = 2 * nb * _BS * _BS * k_pad
-    bytes_accessed = (nb * n_kt * _BS * _BS * 2
-                      + n_kt * plan.c_padded * kt * 4
-                      + plan.r_padded * k_pad * 4)
+    flops = 2 * nb * _BS * _BS * kt
+    bytes_accessed = (nb * _BS * _BS * 2
+                      + plan.c_padded * kt * 4
+                      + plan.r_padded * kt * 4)
 
     out = pl.pallas_call(
         functools.partial(_bsr2_kernel, g=g, kt=kt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
-            (n_super * nrb_s, k_pad, _BS), jnp.float32),
+            (n_super * nrb_s, kt, _BS), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
     )(plan.super_starts, plan.rb_locals, plan.bcs, plan.blocks, xt)
 
     return (out.transpose(0, 2, 1)
-            .reshape(n_super * nrb_s * _BS, k_pad)[: plan.num_rows, :k])
+            .reshape(n_super * nrb_s * _BS, kt)[: plan.num_rows, :k])
 
 
 def spmm_bsr2(plan: BSR2Plan, x: jax.Array) -> jax.Array:

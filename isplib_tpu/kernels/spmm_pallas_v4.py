@@ -127,13 +127,32 @@ def _cdiv(a: int, b: int) -> int:
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "interpret"))
 def _spmm_v4_call(plan: StreamPlanV4, x: jax.Array, compute_dtype,
                   interpret: bool) -> jax.Array:
+    # K wider than the plan's kt runs as an OUTER loop of single-K-tile
+    # kernel launches: a K grid axis would make Pallas double-buffer the
+    # (kt, C_pad) resident-x block — 2x its VMEM at reddit scale
+    # (observed compile-time VMEM OOM at K=41 on the full graph).
     k = x.shape[1]
-    rb, gd = plan.rb, plan.gd
     kt = min(plan.kt, _round_up(k, 32))
     n_kt = _cdiv(_round_up(k, 32), kt)
-    k_pad = n_kt * kt
+    if n_kt > 1:
+        outs = []
+        for t in range(n_kt):
+            k0 = t * kt
+            xt_slice = jax.lax.dynamic_slice_in_dim(
+                x, k0, min(kt, x.shape[1] - k0), axis=1)
+            outs.append(_spmm_v4_one(plan, xt_slice, compute_dtype,
+                                     interpret))
+        return jnp.concatenate(outs, axis=1)[:, :k]
+    return _spmm_v4_one(plan, x, compute_dtype, interpret)
 
-    xt = jnp.zeros((k_pad, plan.c_padded), jnp.float32)
+
+def _spmm_v4_one(plan: StreamPlanV4, x: jax.Array, compute_dtype,
+                 interpret: bool) -> jax.Array:
+    k = x.shape[1]
+    rb, gd = plan.rb, plan.gd
+    kt = _round_up(k, 32)
+
+    xt = jnp.zeros((kt, plan.c_padded), jnp.float32)
     xt = jax.lax.dynamic_update_slice(
         xt, x.T.astype(jnp.float32), (0, 0))
 
@@ -143,7 +162,7 @@ def _spmm_v4_call(plan: StreamPlanV4, x: jax.Array, compute_dtype,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_kt, plan.nrb),
+        grid=(1, plan.nrb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # edges (HBM)
             pl.BlockSpec((kt, plan.c_padded),
@@ -159,22 +178,22 @@ def _spmm_v4_call(plan: StreamPlanV4, x: jax.Array, compute_dtype,
         ],
     )
 
-    flops = 2 * (plan.ng + plan.nrb * gd) * _LANE * k_pad * rb
+    flops = 2 * (plan.ng + plan.nrb * gd) * _LANE * kt * rb
     bytes_accessed = (plan.ng * 3 * _LANE * 4
-                      + n_kt * plan.c_padded * kt * 4
-                      + plan.r_padded * k_pad * 4)
+                      + plan.c_padded * kt * 4
+                      + plan.r_padded * kt * 4)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.nrb, k_pad, rb), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.nrb, kt, rb), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
     )(plan.block_starts, plan.group_base, plan.edges, xt)
 
     return (out.transpose(0, 2, 1)
-            .reshape(plan.nrb * rb, k_pad)[: plan.num_rows, :k])
+            .reshape(plan.nrb * rb, kt)[: plan.num_rows, :k])
 
 
 def spmm_stream_v4(plan: StreamPlanV4, x: jax.Array,

@@ -1,0 +1,77 @@
+"""On-chip fused-pipeline bench: one-pass Pallas vs the XLA
+(E, K)-materializing path (VERDICT r3 missing #2 done-criterion).
+
+Pipelines: sigmoid embedding kernel (VOP_MUL|ROP_DOT|SOP_sigmoid) and
+the t-distribution force model (VOP_SUB|ROP_NORM2|SOP 1/(1+t)) — the
+reference's SOP_UDEF cases (/root/reference/csrc/fusedMM.h:45-52)."""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isplib_tpu.utils.timing import chain_time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "isplib_tpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(cache, "jaxcache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from bench import _load_or_gen, _to_graph, gen_rmat_graph
+    from isplib_tpu.ops.fused import fused_mm
+    from isplib_tpu.ops.semiring import (FusedOp, Reduce, ReduceOp,
+                                         ScaleOp, VectorOp)
+    from isplib_tpu.sparse.tiling import build_tiling_from_numpy
+
+    n, e = 11648, 5730794
+    tag = "reddit_s0.05_m4096"
+    dnp = _load_or_gen(tag, lambda: gen_rmat_graph(
+        n, e, zlib.crc32(b"reddit") & 0x7FFFFFFF, 4096))
+    g = _to_graph(dnp)
+    tiled = build_tiling_from_numpy(g, dnp, k=32, build_backward=False,
+                                    cache_tag=tag, rb=512, version=4,
+                                    S=8, gd=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+
+    ops = {
+        "sigmoid-embed": FusedOp(vop=VectorOp.MUL, rop=ReduceOp.DOT,
+                                 sop=jax.nn.sigmoid, vsc=ScaleOp.MUL,
+                                 aop=Reduce.SUM),
+        "tdist-force": FusedOp(vop=VectorOp.SUB, rop=ReduceOp.NORM2,
+                               sop=lambda t: 1.0 / (1.0 + t),
+                               vsc=ScaleOp.MUL, aop=Reduce.SUM),
+    }
+    for name, op in ops.items():
+        jx = jax.jit(lambda x_, y_, g_, op_=op: fused_mm(
+            g_, x_, y_, op_, backend="xla") * 1e-3)
+        jp = jax.jit(lambda x_, y_, g_, op_=op: fused_mm(
+            g_, x_, y_, op_) * 1e-3)
+        # correctness first
+        want = np.asarray(fused_mm(g, x, y, op, backend="xla"))
+        got = np.asarray(fused_mm(tiled, x, y, op))
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        tx = chain_time(lambda x_: jx(x_, y, g), x, args.iters)
+        tp = chain_time(lambda x_: jp(x_, y, tiled), x, args.iters)
+        print(f"{name:14s}: XLA {tx*1e3:8.3f} ms ({g.nnz/tx/1e9:6.3f} "
+              f"Ge/s) | Pallas {tp*1e3:8.3f} ms ({g.nnz/tp/1e9:6.3f} "
+              f"Ge/s) | {tx/tp:4.1f}x relerr={err:.1e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
