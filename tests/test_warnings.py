@@ -44,6 +44,8 @@ def test_untuned_jit_graph_warns_once(rng, monkeypatch, capsys):
     assert "UNTUNED" not in capsys.readouterr().err
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs an 8-device mesh (virtual CPU devices)")
 def test_sharded_tiled_edge_value_grad_raises(rng, mesh):
     """Differentiating w.r.t. a sharded graph's edge values through the
     tiled route must raise (values are baked into the shard plans)."""
