@@ -421,14 +421,16 @@ def main():
     ap.add_argument("--skip-bwd", action="store_true")
     ap.add_argument("--skip-shard", action="store_true")
     ap.add_argument("--skip-minmax", action="store_true")
-    ap.add_argument("--rb", type=int, default=512)
+    # defaults = measured headline winners (scripts/bench_v5.py sweep;
+    # the density-rep stage uses its own measured config below)
+    ap.add_argument("--rb", type=int, default=256)
     ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
     ap.add_argument("--version", type=int, default=5,
                     help="plan version: 5=BSR2+stream hybrid, 3=celled "
                          "BSR hybrid, 2=edge streaming")
-    ap.add_argument("--dense-threshold", type=int, default=128)
-    ap.add_argument("--S", type=int, default=8,
+    ap.add_argument("--dense-threshold", type=int, default=64)
+    ap.add_argument("--S", type=int, default=4,
                     help="stream gather window in 128-col tiles (v5)")
     ap.add_argument("--g", type=int, default=8,
                     help="BSR blocks per DMA group (versions 3/5)")

@@ -13,11 +13,15 @@ selected by the ``imsg`` bitfield (``/root/reference/csrc/fusedMM.h:8-74``):
 where the accumulated message ``m_e`` is the VOP vector (t-dist force
 model: z_i += s(‖x_i−y_j‖)·(x_i−y_j)) — or y[col] for plain SpMM.
 
-Here the pipeline is a typed :class:`~isplib_tpu.ops.semiring.FusedOp`
-evaluated with jax gather/segment primitives.  Differentiation is plain
-JAX AD — every stage (including a user SOP callable) is traced, so the
-thread-safety contract the reference imposes on UDEF functions
-(``fusedMM.h:127-129``) is vacuous here.
+Here the pipeline is a typed :class:`~isplib_tpu.ops.semiring.FusedOp`.
+SUM-accumulated pipelines on v4-tiled graphs run as ONE Pallas pass
+(:mod:`isplib_tpu.kernels.fused_pallas` — measured 9.7x the XLA path on
+v5e, scripts/bench_fused.py); everything else evaluates with jax
+gather/segment primitives.  Differentiation is JAX AD (the Pallas path
+replays the XLA formulation in its custom VJP) — every stage (including
+a user SOP callable) is traced, so the thread-safety contract the
+reference imposes on UDEF functions (``fusedMM.h:127-129``) is vacuous
+here.
 
 ``fused_mm_edges`` exposes the per-edge scalars before accumulation
 (generalized SDDMM).

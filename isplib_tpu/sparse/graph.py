@@ -365,5 +365,9 @@ def _finalize(arrays: dict, tiling):
     if tiling is None:
         return graph
     from .tiling import build_tiling_from_numpy  # cycle-free deferred import
-    rb, ct, eb = tiling
+    if isinstance(tiling, dict):
+        # full plan config, e.g. dict(version=5, rb=512, dense_threshold=
+        # 128, S=8) — the r4 default generation
+        return build_tiling_from_numpy(graph, arrays, **tiling)
+    rb, ct, eb = tiling  # legacy (rb, ct, eb) triple → v2 plan
     return build_tiling_from_numpy(graph, arrays, rb=rb, ct=ct, eb=eb)

@@ -445,11 +445,17 @@ def auto_tile(graph, k: int = 32):
         return graph
 
     from ..tune import autotune
-    # r4-measured default: hybrid BSR2 (byte-exact global block stream)
-    # + static-S row-stream residual — wins both the dense headline
-    # regime (~2x over v3) and the density-representative regime
-    # (2.9 vs 0.6 Ge/s, scripts/bench_v5.py).
-    cfg = dict(rb=512, version=5, dense_threshold=128, S=8, g=8, gd=8)
+    # r4-measured defaults: hybrid BSR2 (byte-exact global block stream)
+    # + static-S row-stream residual.  The sweep winners split by mean
+    # 128x128-block occupancy (scripts/bench_v5.py): dense-ish graphs
+    # want more densification + narrow gather windows; sparse graphs
+    # want taller row blocks + wider windows.
+    occ = graph.nnz / max(
+        (-(-graph.num_rows // 128)) * (-(-graph.num_cols // 128)), 1)
+    if occ >= 200:
+        cfg = dict(rb=256, version=5, dense_threshold=64, S=4, g=8, gd=8)
+    else:
+        cfg = dict(rb=512, version=5, dense_threshold=128, S=8, g=8, gd=8)
     try:
         entry = autotune.lookup(autotune.signature_of(graph, k))
         if entry and entry.get("backend") == "pallas":

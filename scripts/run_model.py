@@ -40,8 +40,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--nopad", action="store_true",
                     help="skip feature padding to the lane multiple")
-    ap.add_argument("--tiling", default="256,512,512",
-                    help="rb,ct,eb for the pallas backend")
+    ap.add_argument("--tiling", default="v5",
+                    help="'v5' (r4 hybrid default), or rb,ct,eb for a "
+                         "v2 plan")
     args = ap.parse_args()
 
     print(f"Running {args.model.upper()}, Epoch: {args.epochs}, "
@@ -55,7 +56,13 @@ def main():
     t0 = time.time()
     tiling = None
     if args.backend in ("pallas", "auto"):
-        tiling = tuple(int(v) for v in args.tiling.split(","))
+        if args.tiling == "v5":
+            tiling = dict(version=5, rb=512, dense_threshold=128, S=8,
+                          g=8, gd=8, k=args.embedding,
+                          build_minmax=args.model == "sage"
+                          and args.aggr == "max")
+        else:
+            tiling = tuple(int(v) for v in args.tiling.split(","))
     ds = load(args.dataset, scale=args.scale, tiling=tiling)
     if not args.nopad:
         ds = pad_features(ds)
