@@ -53,6 +53,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _exact_onehot_move(v: jax.Array, oh_t: jax.Array,
+                       terms: int) -> jax.Array:
+    """Move f32 values through a 0/1 one-hot matmul EXACTLY at DEFAULT
+    (bf16) matmul precision: split v into ``terms`` bf16 components
+    (v = Σ bf16_i, 8 mantissa bits each) and sum the per-term products.
+    Exact because each output element is a single-term sum (≤ one
+    selected lane per row) and the one-hot operand is 0/1."""
+    out = None
+    rem = v
+    for t in range(terms):
+        hi = rem.astype(jnp.bfloat16)
+        if t + 1 < terms:
+            rem = rem - hi.astype(jnp.float32)
+        p = jax.lax.dot_general(
+            hi, oh_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        out = p if out is None else out + p
+    return out
+
+
 def _minmax_kernel(
     # scalar prefetch
     cell_starts_ref, rb_locals_ref,
@@ -131,22 +152,21 @@ def _minmax_kernel(
             is_last = (rows_g != nrow) | (lane_iota == _LANE - 1)
             selk = is_last & (sid >= 0)                         # (k_pad,128)
 
-            oh_t = (rb_iota_t == rows_g).astype(jnp.float32)    # (rb, 128)
+            oh_t = (rb_iota_t == rows_g).astype(jnp.bfloat16)   # (rb, 128)
             valw = jnp.where(selk, w, 0.0)
             low = jnp.where(selk, (sid + 1).astype(jnp.float32), 0.0)
-            # HIGHEST precision: the winner values feed cross-group and
-            # cross-chunk comparisons (gw > cw, cw > cur_w) — a default
-            # (bf16) pass would compare rounded values and can pick an
-            # arg that differs from the exact lowest-edge-id contract on
-            # near-ties (ADVICE r2 #1).
-            gw = jax.lax.dot_general(
-                valw, oh_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # (k_pad,rb)
-            glo = jax.lax.dot_general(
-                low, oh_t, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)            # exact ints
+            # EXACT f32 movement at DEFAULT precision: the winner values
+            # feed cross-group / cross-chunk comparisons and the slots
+            # must stay integer-exact (lowest-edge-id contract, ADVICE
+            # r2 #1).  Each output row receives at most ONE selected
+            # lane, so the one-hot matmul is a single-term move — a
+            # 3-term bf16 decomposition of the f32 operand reassembles
+            # it exactly (8+8+8 mantissa bits), at 3 DEFAULT passes
+            # instead of HIGHEST's 6-pass split of both operands (the
+            # one-hot side is exact in bf16 already).  Measured ~2x the
+            # whole kernel (scripts/ablate_minmax.py).
+            gw = _exact_onehot_move(valw, oh_t, 3)              # (k_pad,rb)
+            glo = _exact_onehot_move(low, oh_t, 2)  # ints < 2^16: 2 terms
             if cw is None:
                 cw, clo = gw, glo
             else:
