@@ -62,11 +62,11 @@ def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False,
         total = time.perf_counter() - t0
         say(f"chain {r + 1}/{repeats} of {iters} done")
         per_call = (total - lat1) / max(iters - 1, 1)
-        if per_call <= 0:
-            # tiny graphs / few iters: the tunnel latency estimate can
-            # exceed the whole chain — report the un-subtracted mean
-            # instead of a clamped epsilon (which once produced a
-            # 2.3e15 edges/s headline)
+        if per_call <= 0 or iters < 10:
+            # tiny graphs / few iters: the latency estimate's variance
+            # swamps the subtraction (observed vs_baseline > 1 on smoke
+            # runs — impossible by construction).  Report the
+            # un-subtracted, conservative mean instead.
             per_call = total / iters
         best = per_call if best is None else min(best, per_call)
     return best
