@@ -88,7 +88,6 @@ def _fused_kernel(
 
         for m in range(gd):
             gidx = g0 + j * gd + m
-            valid_g = (j * gd + m) < n_groups
             cols = ebuf[slot, m, 0]                        # (1, 128) i32
             vals = pltpu.bitcast(ebuf[slot, m, 1], jnp.float32)
             rows = ebuf[slot, m, 2]                        # (1, 128) i32
@@ -155,8 +154,10 @@ def _fused_kernel(
             else:
                 s = t * vals                                # VSC_MUL
 
+            # pad groups carry value 0 and block group lists are padded
+            # to gd multiples at plan time — no validity predication
             msg = yv if msg_rhs else v
-            oh = jnp.where((rb_iota == rows) & valid_g, s,
+            oh = jnp.where(rb_iota == rows, s,
                            0.0).astype(compute_dtype)       # (rb, 128)
             part = jax.lax.dot_general(
                 msg.astype(compute_dtype), oh, (((1,), (1,)), ((), ())),

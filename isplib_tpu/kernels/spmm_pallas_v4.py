@@ -83,7 +83,6 @@ def _v4_kernel(
 
         for m in range(gd):
             gidx = g0 + j * gd + m
-            valid_g = (j * gd + m) < n_groups
             cols = ebuf[slot, m, 0]                        # (1, 128) i32
             vals = pltpu.bitcast(ebuf[slot, m, 1], jnp.float32)
             rows = ebuf[slot, m, 2]                        # (1, 128) i32
@@ -99,10 +98,14 @@ def _v4_kernel(
                     local.astype(jnp.uint32) < _LANE, (kt, _LANE))
                 g = jnp.where(ok, gi, g)
 
-            # one-hot scatter with values (and the group-valid flag)
-            # folded into the select — a pad/overread group contributes
-            # exactly zero without predication.
-            oh = jnp.where((rb_iota == rows) & valid_g, vals,
+            # one-hot scatter with values folded into the select — pad
+            # groups carry value 0 and each block's group list is padded
+            # to a gd multiple at plan time, so no per-group validity
+            # predication is needed (it cost an (rb, 128)-wide AND).
+            # NOTE: select in f32 then convert — an i1 mask selecting
+            # bf16 directly trips a Mosaic relayout bug ((8,128) mask
+            # tiling vs (16,128) bf16 tiling, observed on v5e).
+            oh = jnp.where(rb_iota == rows, vals,
                            0.0).astype(compute_dtype)      # (rb, 128)
             part = jax.lax.dot_general(
                 g.astype(compute_dtype), oh, (((1,), (1,)), ((), ())),

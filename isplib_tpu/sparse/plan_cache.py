@@ -32,7 +32,9 @@ __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
 
 # Bump when the packed plan layout or the TiledPlan* dataclasses change
 # incompatibly — old cache entries are then simply missed, never misread.
-PLAN_FORMAT_VERSION = 4  # v4: deferred BSR blocks (rank), eid_pos
+# v5: StreamPlanV4 block group lists padded to gd multiples (the kernel
+# no longer predicates overread groups).
+PLAN_FORMAT_VERSION = 5
 
 
 def default_cache_dir() -> str:

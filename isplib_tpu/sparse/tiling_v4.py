@@ -180,16 +180,29 @@ def build_plan_v4_arrays(
     pos_in_b = np.arange(nnz, dtype=np.int64) - b_start[b_ord]
     new_g = new_b.copy()
     np.logical_or(new_g[1:], pos_in_b[1:] % _LANE == 0, out=new_g[1:])
-    group = np.cumsum(new_g) - 1
-    ng = int(group[-1]) + 1
+    group_raw = np.cumsum(new_g) - 1
     lane = pos_in_b % _LANE
 
     first_of_group = np.flatnonzero(new_g)
-    base = (wid[first_of_group] * S).astype(np.int32)
     blk_of_group = rbid[first_of_group]
     blk_counts = np.bincount(blk_of_group, minlength=nrb)
+    # pad every non-empty block's group list to a multiple of gd with
+    # inert groups: the kernel's DMA batches then never overread into
+    # another block and the per-group validity mask disappears (it was
+    # an (rb, 128)-wide AND per group)
+    blk_counts_p = -(-blk_counts // gd) * gd * (blk_counts > 0)
     block_starts = np.zeros(nrb + 1, np.int32)
-    np.cumsum(blk_counts, out=block_starts[1:])
+    np.cumsum(blk_counts_p, out=block_starts[1:])
+    raw_starts = np.zeros(nrb + 1, np.int64)
+    np.cumsum(blk_counts, out=raw_starts[1:])
+    # raw group id -> padded group id (per-block offset shift)
+    grp_shift = (block_starts[:-1].astype(np.int64) - raw_starts[:-1])
+    group = group_raw + grp_shift[rbid]
+    ng = int(block_starts[-1])
+
+    base = np.zeros(ng, np.int32)
+    base[group[first_of_group]] = (wid[first_of_group] * S).astype(
+        np.int32)
 
     local_col = (col - wid * (S * _LANE)).astype(np.int32)
     local_row = (row - rbid * rb).astype(np.int32)
