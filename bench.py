@@ -537,7 +537,7 @@ def main():
         # (scripts/bench_v5.py; the v2 generation — r3's best here —
         # is kept as the comparison row: 0.60 Ge/s vs v5's 2.86)
         for dcfg, name in (
-                (dict(rb=512, version=5, dense_threshold=128, S=8,
+                (dict(rb=512, version=5, dense_threshold=128, S=6,
                       g=8, gd=8), "v5"),
                 (dict(rb=512, ct=1024, eb=512, version=2, gd=8), "v2")):
             t0 = time.time()

@@ -455,7 +455,7 @@ def auto_tile(graph, k: int = 32):
     if occ >= 200:
         cfg = dict(rb=256, version=5, dense_threshold=64, S=4, g=8, gd=8)
     else:
-        cfg = dict(rb=512, version=5, dense_threshold=128, S=8, g=8, gd=8)
+        cfg = dict(rb=512, version=5, dense_threshold=128, S=6, g=8, gd=8)
     try:
         entry = autotune.lookup(autotune.signature_of(graph, k))
         if entry and entry.get("backend") == "pallas":
