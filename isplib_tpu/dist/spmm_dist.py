@@ -328,6 +328,23 @@ def spmm_sharded(
     reduce = Reduce.of(reduce)
     x = pad_features(sg, x)
 
+    # Tiled shard plans bake edge values in at partition time, so
+    # differentiating w.r.t. the graph's value leaves through ANY tiled
+    # route (sum/mean AND max/min — ADVICE r4 medium #2) would silently
+    # produce zero value-gradients.  A plain jit trace
+    # (DynamicJaxprTracer) is fine: values are loss-constants there.
+    if sg.plans is not None or sg.plans_mm is not None:
+        from jax._src.interpreters import ad as _ad
+        _ad_types = tuple(
+            t for t in (getattr(_ad, "JVPTracer", None),
+                        getattr(_ad, "LinearizeTracer", None)) if t)
+        if isinstance(sg.val_loc, _ad_types):
+            raise ValueError(
+                "sharded tiled SpMM treats edge values as constants "
+                "(they are baked into the per-shard plans); "
+                "differentiating w.r.t. the graph requires the XLA "
+                "path — build the partition with tiling=None")
+
     # tiled route: max/min through the per-shard in-kernel arg kernels
     if sg.plans_mm is not None and reduce in (Reduce.MAX, Reduce.MIN):
         out = _spmm_sharded_tiled_minmax(sg, x, reduce.value, mesh,
@@ -336,21 +353,6 @@ def spmm_sharded(
 
     # tiled route: sum/mean through the per-shard Pallas kernels
     if sg.plans is not None and reduce in (Reduce.SUM, Reduce.MEAN):
-        from jax._src.interpreters import ad as _ad
-        _ad_types = tuple(
-            t for t in (getattr(_ad, "JVPTracer", None),
-                        getattr(_ad, "LinearizeTracer", None)) if t)
-        if isinstance(sg.val_loc, _ad_types):
-            # the graph's value leaves are being DIFFERENTIATED, but
-            # tiled shard plans bake edge values in at partition time —
-            # the value gradient would silently be zero (VERDICT r3
-            # weak #3 / next #8).  A plain jit trace (DynamicJaxprTracer)
-            # is fine: values are constants w.r.t. the loss there.
-            raise ValueError(
-                "sharded tiled SpMM treats edge values as constants "
-                "(they are baked into the per-shard plans); "
-                "differentiating w.r.t. the graph requires the XLA "
-                "path — build the partition with tiling=None")
         out = _spmm_sharded_tiled_sum(sg, x, mesh, axis_name)
         if reduce is Reduce.MEAN:
             deg_flat = sg.deg.reshape(-1)

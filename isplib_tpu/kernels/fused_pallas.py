@@ -186,6 +186,11 @@ def _fused_call(plan: StreamPlanV4, x: jax.Array, y: jax.Array,
     assert kt <= 256, (
         "fused pipeline requires a single K tile (K <= 256): the per-edge "
         "ROP reduction spans the full feature dim")
+    needs_x_check = vop not in (VectorOp.COPY_RHS,)
+    assert not (needs_x_check and rb % _LANE != 0), (
+        f"x-reading VOPs need rb to be a multiple of 128 (got rb={rb}): "
+        "the row-slab gather visits 128-lane slabs and would silently "
+        "read zeros past the last full slab (ADVICE r4 medium #1)")
 
     yt = jnp.zeros((kt, plan.c_padded), jnp.float32)
     yt = jax.lax.dynamic_update_slice(yt, y.T.astype(jnp.float32), (0, 0))

@@ -206,6 +206,10 @@ def _minmax_call(plan: TiledPlanV2, x: jax.Array, negate: bool,
     # (ADVICE r2 #3: fail loudly, never corrupt args at extreme scale)
     assert plan.nc < (1 << 24), \
         f"max/min arg tracking needs nc < 2^24, got nc={plan.nc}"
+    # the 2-term bf16 decomposition of slot ids (_exact_onehot_move(low,
+    # oh_t, 2)) is exact only while slot+1 <= 2^16 (ADVICE r4 low #5)
+    assert plan.eb < (1 << 16), \
+        f"max/min arg tracking needs eb < 2^16, got eb={plan.eb}"
     k = x.shape[1]
     rb, ct, eb = plan.rb, plan.ct, plan.eb
     nct, n_super, nrb_s = plan.nct, plan.n_super, plan.nrb_s

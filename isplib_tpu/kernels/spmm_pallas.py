@@ -243,6 +243,13 @@ def spmm_forward(graph: TiledGraph, x: jax.Array, reduce: Reduce):
     reduce = Reduce.of(reduce)
     base = base_graph(graph)
     if reduce in (Reduce.MAX, Reduce.MIN):
+        if (isinstance(graph, TiledGraph)
+                and getattr(graph, "fwd_mm", None) is not None):
+            # r5 train-structured row-stream arg kernel
+            from .spmm_minmax_v4 import spmm_minmax_v4
+            out, _ = spmm_minmax_v4(graph.fwd_mm, x, reduce.value,
+                                    base.nnz_padded - 1)
+            return out.astype(x.dtype)
         if isinstance(graph, TiledGraph) and graph.fwd_arg is not None:
             from .spmm_minmax import spmm_minmax_tiled
             out, _ = spmm_minmax_tiled(graph.fwd_arg, x, reduce.value,

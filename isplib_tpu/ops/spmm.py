@@ -97,9 +97,16 @@ def _spmm_fwd(graph, x: jax.Array, reduce: str, backend: str):
     if r in (Reduce.MAX, Reduce.MIN):
         base = base_graph(graph)
         if (backend == "pallas" and isinstance(graph, TiledGraph)
-                and graph.fwd_arg is not None):
-            # in-kernel max/min with arg outputs (ref parity:
+                and getattr(graph, "fwd_mm", None) is not None):
+            # r5 row-stream max/min with arg outputs (ref parity:
             # /root/reference/csrc/fusedmm.cpp:397-407)
+            from ..kernels.spmm_minmax_v4 import spmm_minmax_v4
+            out, arg = spmm_minmax_v4(
+                graph.fwd_mm, x, r.value, base.nnz_padded - 1)
+            out = out.astype(x.dtype)
+        elif (backend == "pallas" and isinstance(graph, TiledGraph)
+                and graph.fwd_arg is not None):
+            # legacy v2-cell in-kernel max/min
             from ..kernels.spmm_minmax import spmm_minmax_tiled
             out, arg = spmm_minmax_tiled(
                 graph.fwd_arg, x, r.value, base.nnz_padded - 1)

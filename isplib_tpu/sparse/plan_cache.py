@@ -14,14 +14,21 @@ device upload happens once per process via
 :func:`isplib_tpu.utils.transfer.tree_device_put`).  The cache key folds
 in every plan-shaping parameter plus a format version, so stale entries
 can never be misread as current ones.
+
+Storage format: ``np.savez`` with ``allow_pickle=False`` — plan pytrees
+are flattened to raw arrays plus a JSON structure spec that names the
+plan dataclasses by module path (restricted to ``isplib_tpu.``), so a
+cache directory is never an arbitrary-code-execution surface the way a
+pickle store is (ADVICE r3 low / VERDICT r4 next #8).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
+import importlib
 import json
 import os
-import pickle
 import tempfile
 from typing import Optional
 
@@ -32,9 +39,10 @@ __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
 
 # Bump when the packed plan layout or the TiledPlan* dataclasses change
 # incompatibly — old cache entries are then simply missed, never misread.
-# v5: StreamPlanV4 block group lists padded to gd multiples (the kernel
-# no longer predicates overread groups).
-PLAN_FORMAT_VERSION = 5
+# v6: pickle → npz(allow_pickle=False) flat-array format; full-array
+# strided column fingerprint.
+# v7: plan dicts carry the fwd_mm train-plan tuple (r5 max/min path).
+PLAN_FORMAT_VERSION = 7
 
 
 def default_cache_dir() -> str:
@@ -52,17 +60,84 @@ def plan_cache_path(tag: str, cfg: dict, cache_dir: Optional[str] = None
                       **{k: cfg[k] for k in sorted(cfg)}},
                      sort_keys=True)
     h = hashlib.sha256(key.encode()).hexdigest()[:16]
-    return os.path.join(cache_dir, f"plan_{tag}_{h}.pkl")
+    return os.path.join(cache_dir, f"plan_{tag}_{h}.npz")
+
+
+# ---------------------------------------------------------------------------
+# Pickle-free pytree <-> (spec JSON, flat arrays)
+# ---------------------------------------------------------------------------
+
+def _encode(obj, arrays: list):
+    """Recursively encode a host plan pytree into a JSON-able spec,
+    appending array leaves to ``arrays``.  Supported nodes: dict, tuple,
+    list, None, numpy arrays, python scalars/strings, and dataclasses
+    from ``isplib_tpu.*`` modules."""
+    if obj is None:
+        return {"t": "none"}
+    if isinstance(obj, np.ndarray):
+        arrays.append(np.ascontiguousarray(obj))
+        return {"t": "arr", "i": len(arrays) - 1}
+    if isinstance(obj, (bool, int, float, str)):
+        return {"t": "lit", "v": obj}
+    if isinstance(obj, np.generic):
+        return {"t": "lit", "v": obj.item()}
+    if isinstance(obj, dict):
+        return {"t": "dict",
+                "v": {k: _encode(v, arrays) for k, v in obj.items()}}
+    if isinstance(obj, tuple):
+        return {"t": "tuple", "v": [_encode(v, arrays) for v in obj]}
+    if isinstance(obj, list):
+        return {"t": "list", "v": [_encode(v, arrays) for v in obj]}
+    if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+        cls = type(obj)
+        if not cls.__module__.startswith("isplib_tpu."):
+            raise TypeError(
+                f"plan cache refuses non-isplib dataclass {cls!r}")
+        fields = {f.name: _encode(getattr(obj, f.name), arrays)
+                  for f in dataclasses.fields(obj)}
+        return {"t": "dc", "cls": f"{cls.__module__}:{cls.__qualname__}",
+                "v": fields}
+    raise TypeError(f"plan cache cannot encode {type(obj)!r}")
+
+
+def _decode(spec, arrays):
+    t = spec["t"]
+    if t == "none":
+        return None
+    if t == "arr":
+        return arrays[f"a{spec['i']}"]
+    if t == "lit":
+        return spec["v"]
+    if t == "dict":
+        return {k: _decode(v, arrays) for k, v in spec["v"].items()}
+    if t == "tuple":
+        return tuple(_decode(v, arrays) for v in spec["v"])
+    if t == "list":
+        return [_decode(v, arrays) for v in spec["v"]]
+    if t == "dc":
+        mod, _, qual = spec["cls"].partition(":")
+        if not mod.startswith("isplib_tpu."):
+            raise ValueError(f"refusing to import {mod!r} from plan cache")
+        cls = importlib.import_module(mod)
+        for part in qual.split("."):
+            cls = getattr(cls, part)
+        if not dataclasses.is_dataclass(cls):
+            raise ValueError(f"{spec['cls']} is not a plan dataclass")
+        return cls(**{k: _decode(v, arrays) for k, v in spec["v"].items()})
+    raise ValueError(f"unknown plan-cache node type {t!r}")
 
 
 def save_host_plans(path: str, plans: dict) -> None:
     """Atomically persist a dict of host-leaf (numpy) plan pytrees."""
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
+    arrays: list = []
+    spec = json.dumps(_encode(plans, arrays)).encode()
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "wb") as f:
-            pickle.dump(plans, f, protocol=pickle.HIGHEST_PROTOCOL)
+            np.savez(f, spec=np.frombuffer(spec, np.uint8),
+                     **{f"a{i}": a for i, a in enumerate(arrays)})
         os.replace(tmp, path)
     except BaseException:
         try:
@@ -76,14 +151,13 @@ def load_host_plans(path: str) -> Optional[dict]:
     """Load a plan dict saved by :func:`save_host_plans`; None on miss.
 
     Decode failures are treated as misses but logged (ADVICE r3: a
-    silently-swallowed exception here masks real corruption bugs).
-    Note the cache uses pickle — only point ``ISPLIB_TPU_CACHE_DIR`` at
-    directories you trust, as for any pickle store."""
+    silently-swallowed exception here masks real corruption bugs)."""
     if not os.path.exists(path):
         return None
     try:
-        with open(path, "rb") as f:
-            return pickle.load(f)
+        with np.load(path, allow_pickle=False) as z:
+            spec = json.loads(bytes(z["spec"]).decode())
+            return _decode(spec, z)
     except Exception as e:  # noqa: BLE001
         import sys
         print(f"[isplib_tpu] plan cache entry {path} failed to decode "
@@ -96,15 +170,18 @@ def graph_fingerprint(arrays: dict, nnz: int) -> str:
     """Cheap content hash of the actual edge structure (ADVICE r3
     medium: size statistics alone let two different graphs share plan
     cache entries, silently producing wrong SpMM results).  crc32 over
-    the rowptr plus head/tail slices of the column array."""
+    the rowptr plus a strided sample spanning the WHOLE column/value
+    arrays — head/tail slices alone let two graphs differing only in
+    middle columns collide (ADVICE r4 low)."""
     import zlib
     rp = arrays.get("rowptr", arrays["row"][:nnz])
     h = zlib.crc32(np.ascontiguousarray(rp).tobytes())
     col = arrays["col"][:nnz]
-    n = min(65536, col.shape[0])
-    h = zlib.crc32(np.ascontiguousarray(col[:n]).tobytes(), h)
-    h = zlib.crc32(np.ascontiguousarray(col[-n:]).tobytes(), h)
-    val = arrays.get("value")
-    if val is not None and val.shape[0]:
-        h = zlib.crc32(np.ascontiguousarray(val[:n]).tobytes(), h)
+    if col.shape[0]:
+        stride = max(1, col.shape[0] // 65536)
+        h = zlib.crc32(np.ascontiguousarray(col[::stride]).tobytes(), h)
+        val = arrays.get("value")
+        if val is not None and val.shape[0]:
+            h = zlib.crc32(
+                np.ascontiguousarray(val[:nnz][::stride]).tobytes(), h)
     return f"{h:08x}"

@@ -114,8 +114,12 @@ class TiledGraph:
     ``build_backward=False`` — the backward then falls back to the XLA
     path (never the forward plan, which would silently compute
     SpMM(A, g) instead of SpMM(Aᵀ, g)).  ``fwd_arg`` is an optional
-    v2-with-eids plan for the max/min arg kernel
-    (:mod:`isplib_tpu.kernels.spmm_minmax`) — without it max/min reduce
+    v2-with-eids plan consumed by the Pallas SDDMM kernel (grad_value)
+    and the legacy max/min arg kernel
+    (:mod:`isplib_tpu.kernels.spmm_minmax`).  ``fwd_mm`` is the r5
+    striped v4mm plan tuple for the row-stream max/min arg kernel
+    (:mod:`isplib_tpu.kernels.spmm_minmax_v4`) — preferred over
+    ``fwd_arg`` for max/min dispatch; without either, max/min reduce
     on the XLA path.  Layers and ``spmm()`` accept this anywhere a
     CSRGraph is accepted.
     """
@@ -124,6 +128,7 @@ class TiledGraph:
     fwd: TiledPlan
     bwd: Optional[TiledPlan]
     fwd_arg: Optional[object] = None
+    fwd_mm: Optional[tuple] = None
 
     # Mirror CSRGraph's static interface so call sites don't care.
     @property
@@ -361,17 +366,25 @@ def build_tiling_from_numpy(
         else:
             bwd = None  # backward falls back to the XLA transpose path
         fwd_arg = None
+        fwd_mm = None
         if build_minmax:
+            # r5 max/min path: striped v4mm row-stream plans (VERDICT r4
+            # next #1).  S/gd follow the sum plan's config when given.
+            from .tiling_v4mm import build_minmax_stripes
+            fwd_mm = build_minmax_stripes(
+                row, col, val, graph.num_rows, graph.num_cols,
+                k=k, defer_edges=defer_minmax) or None  # () when empty
+            # v2-with-eids plan kept for the Pallas SDDMM (grad_value)
+            # kernel, which streams per-edge (row, col, eid) chunks.
             from .tiling_v2 import build_plan_v2_arrays
-            # 3 VMEM-resident output planes (value, slot, chunk) share the
-            # superblock budget → a third of the sum plan's allotment.
             mm_rb = max(_LANE, (rb // _LANE) * _LANE)
             mm_ct = max(_LANE, (ct // _LANE) * _LANE)
             fwd_arg = build_plan_v2_arrays(
                 row, col, val, graph.num_rows, graph.num_cols,
                 rb=mm_rb, ct=mm_ct, eb=eb, k=k, with_eids=True,
                 vmem_out_bytes=2 << 20, defer_edges=defer_minmax)
-        plans = {"fwd": fwd, "bwd": bwd, "fwd_arg": fwd_arg}
+        plans = {"fwd": fwd, "bwd": bwd, "fwd_arg": fwd_arg,
+                 "fwd_mm": fwd_mm}
         if cache_path is not None:
             from .plan_cache import save_host_plans
             save_host_plans(cache_path, plans)
@@ -382,6 +395,8 @@ def build_tiling_from_numpy(
         from .tiling_v2 import TiledPlanV2, materialize_v2_edges_device
         from .tiling_v3 import HybridPlanV3, materialize_blocks_device
         from .tiling_v4 import StreamPlanV4, materialize_v4_edges_device
+        from .tiling_v4mm import (MinMaxTrainPlan,
+                                  materialize_v4mm_edges_device)
         from .tiling_v5 import HybridPlanV5, materialize_v5_device
 
         def _mat(p, r, c, v):
@@ -391,6 +406,8 @@ def build_tiling_from_numpy(
                 return materialize_blocks_device(p, r, c, v)
             if isinstance(p, StreamPlanV4):
                 return materialize_v4_edges_device(p, r, c, v)
+            if isinstance(p, MinMaxTrainPlan):
+                return materialize_v4mm_edges_device(p, r, c, v)
             if isinstance(p, TiledPlanV2):
                 return materialize_v2_edges_device(p, r, c, v)
             return p
@@ -402,8 +419,13 @@ def build_tiling_from_numpy(
         if plans["fwd_arg"] is not None:
             plans["fwd_arg"] = _mat(plans["fwd_arg"], graph.row,
                                     graph.col, graph.value)
+        if plans.get("fwd_mm") is not None:
+            plans["fwd_mm"] = tuple(
+                _mat(p, graph.row, graph.col, graph.value)
+                for p in plans["fwd_mm"])
     return TiledGraph(graph=graph, fwd=plans["fwd"], bwd=plans["bwd"],
-                      fwd_arg=plans["fwd_arg"])
+                      fwd_arg=plans["fwd_arg"],
+                      fwd_mm=plans.get("fwd_mm"))
 
 
 # auto_tile memo: one TiledGraph per (graph identity, kt bucket) — repeated
