@@ -433,8 +433,9 @@ def main():
     ap.add_argument("--dense-threshold", type=int, default=64)
     ap.add_argument("--S", type=int, default=4,
                     help="stream gather window in 128-col tiles (v5)")
-    ap.add_argument("--g", type=int, default=8,
-                    help="BSR blocks per DMA group (versions 3/5)")
+    ap.add_argument("--g", type=int, default=0,
+                    help="BSR blocks per DMA group (versions 3/5); "
+                         "0 = occupancy-adaptive (16 dense, 8 sparse)")
     ap.add_argument("--tune", action="store_true",
                     help="autotune (rb, ct, eb, backend) before benching")
     args = ap.parse_args()
@@ -452,6 +453,13 @@ def main():
     n, e = int(n_real * args.scale), int(e_real * args.scale)
 
     bw, fpeak = device_peaks()
+
+    # occupancy-adaptive BSR2 DMA-group default: dense-regime graphs won
+    # with g=16 in the r5 fused-matmul sweep; sparse regimes keep g=8
+    # (block-row runs are short — padding to 16 wastes block bytes).
+    occ_est = e / max((n / 128.0) ** 2, 1.0)
+    if not args.g:
+        args.g = 16 if occ_est >= 200 else 8
 
     # ---- stage 1+2: headline SpMM on the r1/r2-comparable graph --------
     tag = f"{base}_s{args.scale}_m{args.edge_multiple}"

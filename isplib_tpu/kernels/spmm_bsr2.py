@@ -75,19 +75,22 @@ def _bsr2_kernel(
 
         dma(slot, j).wait()
 
-        for m in range(g):
-            b = (j0 + j) * g + m
-            bc = bc_ref[b]
-            rbl = rbl_ref[b]
-            xs = x_ref[:, pl.ds(bc * _BS, _BS)].astype(jnp.bfloat16)
-            # block member m is the lane band [m·128, (m+1)·128); pad
-            # members are all-zero blocks (inert under +=)
-            part = jax.lax.dot_general(
-                xs, blk_buf[slot][:, m * _BS:(m + 1) * _BS],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)       # (kt, 128)
-            out_ref[rbl] += part
+        # all g members of a group share one output row-block (the plan
+        # pads block-row runs to g multiples), so the g member matmuls
+        # fuse into ONE deep (kt, g·128)×(g·128, 128) MXU contraction
+        # and ONE dynamic-offset accumulate — the per-member RMW was the
+        # measured r4 bottleneck.  Pad members are zero blocks reading
+        # x tile 0 (inert).
+        b0 = (j0 + j) * g
+        rbl = rbl_ref[b0]
+        xs = jnp.concatenate(
+            [x_ref[:, pl.ds(bc_ref[b0 + m] * _BS, _BS)]
+             for m in range(g)], axis=1).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            xs, blk_buf[slot], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)           # (kt, 128)
+        out_ref[rbl] += part
         return carry
 
     jax.lax.fori_loop(0, n_groups, body, 0)
@@ -141,7 +144,7 @@ def _bsr2_one(plan: BSR2Plan, x: jax.Array, interpret: bool) -> jax.Array:
             (nrb_s, kt, _BS), lambda kk, s, ss, rbl, bc: (s, kk, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _BS, g * _BS), jnp.bfloat16),
+            pltpu.VMEM((2, g * _BS, _BS), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

@@ -42,7 +42,10 @@ __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
 # v6: pickle → npz(allow_pickle=False) flat-array format; full-array
 # strided column fingerprint.
 # v7: plan dicts carry the fwd_mm train-plan tuple (r5 max/min path).
-PLAN_FORMAT_VERSION = 7
+# v8: BSR2 blocks are member-major row-block-run-padded (fused matmul).
+# v9: v5 stripes cut by BOTH the x-VMEM budget and the SMEM-safe
+#     stream-group budget.
+PLAN_FORMAT_VERSION = 9
 
 
 def default_cache_dir() -> str:

@@ -475,7 +475,7 @@ def auto_tile(graph, k: int = 32):
     occ = graph.nnz / max(
         (-(-graph.num_rows // 128)) * (-(-graph.num_cols // 128)), 1)
     if occ >= 200:
-        cfg = dict(rb=256, version=5, dense_threshold=64, S=4, g=8, gd=8)
+        cfg = dict(rb=256, version=5, dense_threshold=64, S=4, g=16, gd=8)
     else:
         cfg = dict(rb=512, version=5, dense_threshold=128, S=6, g=8, gd=8)
     try:

@@ -305,7 +305,8 @@ def build_plan_v3_arrays(
 # ---------------------------------------------------------------------------
 
 def _scatter_blocks_impl(rank, row, col, val, *, n_bc: int, nb: int,
-                         g: int, num_rows: int, num_cols: int):
+                         g: int, num_rows: int, num_cols: int,
+                         member_major: bool = False):
     bid = (row // _BS).astype(jnp.int32) * n_bc + (col // _BS).astype(
         jnp.int32)
     valid = (row < num_rows) & (col < num_cols)
@@ -324,15 +325,21 @@ def _scatter_blocks_impl(rank, row, col, val, *, n_bc: int, nb: int,
     acc = jax.ops.segment_sum(val_s, flat_s,
                               num_segments=nb * _BS * _BS + 1,
                               indices_are_sorted=True)
-    blocks = acc[:-1].reshape(nb // g, g, _BS, _BS)
-    blocks = (blocks.transpose(0, 2, 1, 3)
-              .reshape(nb // g, _BS, g * _BS))
+    if member_major:
+        # v5 layout: blocks[b, m·128 + c_local, r_local] — the whole
+        # group is one (g·128, 128) contraction operand
+        blocks = acc[:-1].reshape(nb // g, g * _BS, _BS)
+    else:
+        blocks = acc[:-1].reshape(nb // g, g, _BS, _BS)
+        blocks = (blocks.transpose(0, 2, 1, 3)
+                  .reshape(nb // g, _BS, g * _BS))
     return blocks.astype(jnp.bfloat16)
 
 
 _scatter_blocks = jax.jit(
     _scatter_blocks_impl,
-    static_argnames=("n_bc", "nb", "g", "num_rows", "num_cols"))
+    static_argnames=("n_bc", "nb", "g", "num_rows", "num_cols",
+                     "member_major"))
 
 
 def materialize_blocks_device(plan: HybridPlanV3, row, col, val

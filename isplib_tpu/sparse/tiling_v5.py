@@ -56,18 +56,21 @@ def _cdiv(a: int, b: int) -> int:
 class BSR2Plan:
     """Globally-streamed dense 128×128 blocks over a VMEM-resident x.
 
-    ``blocks``: (nb // g, 128, g·128) bf16 — same grouped Aᵀ layout as
-    the v3 BSRPlan (group b member j holds
-    ``blocks[b, c_local, j·128 + r_local] = A[row, col]``), so the
-    deferred on-device scatter fill is shared.
-    ``rb_locals``: (nb,) int32 — row-block index within the superblock.
+    ``blocks``: (nb // g, g·128, 128) bf16, member-major (r5 layout):
+    group b member m holds
+    ``blocks[b, m·128 + c_local, r_local] = A[row, col]`` — the whole
+    group is ONE (g·128, 128) contraction operand for the fused
+    (kt, g·128)×(g·128, 128) MXU pass.
+    ``rb_locals``: (nb,) int32 — row-block index within the superblock;
+    CONSTANT within each group (blocks are sorted by (superblock,
+    block-row, block-col) and each block-row run is padded to a g
+    multiple), so the kernel accumulates once per group.
     ``bcs``: (nb,) int32 — block-col (stripe-local) of each block: the
     kernel slices the resident x at ``bcs[b]·128`` per member.
     ``super_starts``: (n_super + 1,) int32 — *group* range per
-    superblock (blocks of one superblock are contiguous and padded to a
-    multiple of g with inert zero blocks: rbl 0, bc 0).
-    ``rank``: deferred plans only — (n_br·n_bc_global,) int32 block →
-    slot map consumed by the on-device scatter (−1 = not densified).
+    superblock.  ``rank``: deferred plans only — (n_br·n_bc_global,)
+    int32 block → slot map consumed by the on-device scatter (−1 = not
+    densified).
     """
 
     blocks: Optional[jax.Array]
@@ -147,7 +150,7 @@ def build_plan_v5_arrays(
     g: int = 8,
     gd: int = 8,
     max_block_bytes: int = 2 << 30,
-    x_vmem_bytes: int = 10 << 20,
+    x_vmem_bytes: int = 48 << 20,
     vmem_out_bytes: int = 4 << 20,
     defer_edges: bool = False,
 ) -> HybridPlanV5:
@@ -174,16 +177,6 @@ def build_plan_v5_arrays(
     nrb_s = max(1, min(n_br, vmem_out_bytes // (kt * _BS * 4)))
     n_super = _cdiv(n_br, nrb_s)
 
-    # ---- column stripes: resident x must fit the VMEM budget ----------
-    max_stripe_cols = max(S * _BS, (x_vmem_bytes // (kt * 4))
-                          // (S * _BS) * (S * _BS))
-    n_stripes = max(1, _cdiv(n_bc * _BS, max_stripe_cols))
-    stripe_bounds = []
-    for s in range(n_stripes):
-        c0 = s * max_stripe_cols
-        c1 = min((s + 1) * max_stripe_cols, num_cols)
-        stripe_bounds.append((c0, c1))
-
     # ---- dense/sparse split (global 128x128 block counts) -------------
     dense_edges = 0
     bid = None
@@ -208,6 +201,35 @@ def build_plan_v5_arrays(
         is_dense = dense_b[bid]
         dense_edges = int(is_dense.sum())
 
+    # ---- column stripes -----------------------------------------------
+    # Two budgets bound a stripe: the resident x (kt · cols · 4 B of
+    # VMEM) and the stream plan's per-group scalar-prefetch array
+    # (group_base lives in 1 MB of SMEM — a single full-Reddit stripe
+    # produced a 2.65 MB prefetch operand and failed to compile).
+    # Stripes are cut greedily on S·128 boundaries against both.
+    max_stripe_cols = max(S * _BS, (x_vmem_bytes // (kt * 4))
+                          // (S * _BS) * (S * _BS))
+    max_stream_edges = 14_000_000  # ~160k groups at typical fill ≈ 640KB
+    stripe_bounds = []
+    if nnz:
+        win = S * _BS
+        sparse_per_win = np.bincount(
+            col[~is_dense] // win, minlength=_cdiv(num_cols, win))
+        c0 = 0
+        acc = 0
+        for w in range(len(sparse_per_win)):
+            w_end = min((w + 1) * win, num_cols)
+            if (w_end - c0 > max_stripe_cols
+                    or (acc + sparse_per_win[w] > max_stream_edges
+                        and w_end - c0 > win)):
+                stripe_bounds.append((c0, w * win))
+                c0 = w * win
+                acc = 0
+            acc += int(sparse_per_win[w])
+        stripe_bounds.append((c0, num_cols))
+    else:
+        stripe_bounds.append((0, num_cols))
+
     bsr2s: list = []
     streams: list = []
     for (c0, c1) in stripe_bounds:
@@ -219,33 +241,47 @@ def build_plan_v5_arrays(
             d_mask = r_mask = np.zeros(0, bool)
 
         # ---- BSR2 half -------------------------------------------------
+        # Blocks are row-block-run-major: sorted by (superblock,
+        # block-row, block-col) and each block-row's list padded to a
+        # multiple of g with inert zero blocks CARRYING THE RUN'S rbl —
+        # every DMA group then shares one output row-block, so the
+        # kernel fuses its g member matmuls into ONE deep
+        # (kt, g·128)×(g·128, 128) MXU pass with a single accumulate
+        # (r5: the per-member dynamic-offset RMW was the measured BSR2
+        # bottleneck — 1.8x above the block-stream HBM time).
         bsr = None
         if nnz and d_mask.any():
             s_bids = np.unique(bid[d_mask])
             br = s_bids // n_bc
             bc = s_bids % n_bc
+            order = np.lexsort((bc, br))  # br ascending => sid ascending
+            s_bids, br, bc = s_bids[order], br[order], bc[order]
             sid = br // nrb_s
-            order = np.lexsort((br, bc, sid))
-            s_bids, br, bc, sid = (s_bids[order], br[order], bc[order],
-                                   sid[order])
-            # pad each superblock's block list to a multiple of g
-            cnt = np.bincount(sid, minlength=n_super)
-            cnt_g = -(-cnt // g) * g
-            starts = np.zeros(n_super + 1, np.int64)
-            starts[1:] = np.cumsum(cnt)
-            starts_g = np.zeros(n_super + 1, np.int64)
-            starts_g[1:] = np.cumsum(cnt_g)
-            pos = np.arange(len(s_bids)) - starts[sid]
-            new_pos = starts_g[sid] + pos
-            nb = int(starts_g[-1])
+            # pad each block-row RUN to a multiple of g
+            ubr, run_of = np.unique(br, return_inverse=True)
+            cnt_u = np.bincount(run_of)
+            cnt_ug = -(-cnt_u // g) * g
+            run_start = np.zeros(len(ubr) + 1, np.int64)
+            run_start[1:] = np.cumsum(cnt_u)
+            run_start_g = np.zeros(len(ubr) + 1, np.int64)
+            run_start_g[1:] = np.cumsum(cnt_ug)
+            pos = np.arange(len(s_bids)) - run_start[run_of]
+            new_pos = run_start_g[run_of] + pos
+            nb = int(run_start_g[-1])
 
             rank = np.full(n_br * n_bc, -1, np.int32)
             rank[s_bids] = new_pos.astype(np.int32)
-            rb_locals = np.zeros(nb, np.int32)
-            rb_locals[new_pos] = (br - sid * nrb_s).astype(np.int32)
+            # pads inherit the run's rbl (repeat covers them)
+            rb_locals = np.repeat(
+                (ubr - (ubr // nrb_s) * nrb_s).astype(np.int32), cnt_ug)
             bcs = np.zeros(nb, np.int32)
             bcs[new_pos] = (bc - c0 // _BS).astype(np.int32)
-            super_starts = (starts_g // g).astype(np.int32)
+            sid_u = ubr // nrb_s
+            g_per_super = np.bincount(
+                sid_u, weights=cnt_ug, minlength=n_super).astype(np.int64)
+            super_starts = np.zeros(n_super + 1, np.int64)
+            np.cumsum(g_per_super // g, out=super_starts[1:])
+            super_starts = super_starts.astype(np.int32)
 
             blocks = None
             if not defer_edges:
@@ -287,17 +323,17 @@ def _stripe_rank(rank: np.ndarray, n_br: int, n_bc: int, c0: int,
 
 
 def _densify_host(row, col, val, rank_local, n_bc_local, nb, g):
-    """Host-side bf16 block fill in the grouped kernel layout (tests /
-    no-device builds; production defers to the on-device scatter)."""
+    """Host-side bf16 block fill in the member-major kernel layout:
+    ``blocks[b, m·128 + c_local, r_local]`` — one deep contraction
+    operand per DMA group (tests / no-device builds; production defers
+    to the on-device scatter)."""
     import ml_dtypes
     bid = (row // _BS) * n_bc_local + (col // _BS)
     p = rank_local[bid]
     blocks = np.zeros((nb, _BS, _BS), np.float32)
     np.add.at(blocks, (p, col % _BS, row % _BS), val)
     blocks = blocks.astype(ml_dtypes.bfloat16)
-    return (blocks.reshape(nb // g, g, _BS, _BS)
-            .transpose(0, 2, 1, 3)
-            .reshape(nb // g, _BS, g * _BS).copy())
+    return blocks.reshape(nb // g, g * _BS, _BS).copy()
 
 
 # ---------------------------------------------------------------------------
@@ -318,7 +354,8 @@ def materialize_v5_device(plan: HybridPlanV5, row, col, val
             blocks = _scatter_blocks(
                 jnp.asarray(bsr.rank), row, col, val,
                 n_bc=n_bc_global, nb=bsr.nb, g=bsr.g,
-                num_rows=plan.num_rows, num_cols=plan.num_cols)
+                num_rows=plan.num_rows, num_cols=plan.num_cols,
+                member_major=True)
             bsr = dataclasses.replace(bsr, blocks=blocks)
         bsr2s.append(bsr)
     streams = []

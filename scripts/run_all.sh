@@ -11,7 +11,9 @@ OUT_DIR="${BENCH_OUT:-bench_results}"
 mkdir -p "$OUT_DIR"
 
 datasets="reddit reddit2 protein mag"
-backends="xla pallas"
+# pt1 = the reference's torch CPU comparison column (A/B format,
+# /root/reference/tests/cpu/run_test.sh:5-16)
+backends="pt1 xla pallas"
 
 for d in $datasets; do
   for b in $backends; do

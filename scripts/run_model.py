@@ -31,7 +31,7 @@ def main():
     ap.add_argument("model", choices=["gcn", "sage", "gin"])
     ap.add_argument("dataset")
     ap.add_argument("backend", nargs="?", default="auto",
-                    choices=["xla", "pallas", "auto"])
+                    choices=["xla", "pallas", "auto", "pt1"])
     ap.add_argument("--aggr", default="sum", choices=["sum", "mean",
                                                       "max", "min"])
     ap.add_argument("--epochs", type=int, default=2)      # EPOCH_COUNT
@@ -70,14 +70,23 @@ def main():
           f"{ds.num_features} features, {ds.num_classes} classes "
           f"({time.time() - t0:.1f}s)", file=sys.stderr)
 
-    kwargs = dict(hidden=args.embedding, num_classes=ds.num_classes,
-                  backend=args.backend)
-    if args.model == "sage":
-        kwargs["aggr"] = args.aggr
-    model = MODEL_REGISTRY[args.model](**kwargs)
+    if args.backend == "pt1":
+        # the reference's torch-side comparison column (A/B format,
+        # /root/reference/tests/cpu/gcn-sparse.py:29-37): same model,
+        # protocol and dataset through plain torch CPU sparse ops
+        from isplib_tpu.interop.torch_baseline import train_torch_baseline
+        res = train_torch_baseline(
+            args.model, ds, epochs=args.epochs, hidden=args.embedding,
+            aggr=args.aggr, seed=args.seed)
+    else:
+        kwargs = dict(hidden=args.embedding, num_classes=ds.num_classes,
+                      backend=args.backend)
+        if args.model == "sage":
+            kwargs["aggr"] = args.aggr
+        model = MODEL_REGISTRY[args.model](**kwargs)
 
-    res = train_node_classifier(model, ds, epochs=args.epochs,
-                                seed=args.seed)
+        res = train_node_classifier(model, ds, epochs=args.epochs,
+                                    seed=args.seed)
     print()
     print(res.table())
     print()
