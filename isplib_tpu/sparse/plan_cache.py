@@ -45,7 +45,9 @@ __all__ = ["plan_cache_path", "save_host_plans", "load_host_plans",
 # v8: BSR2 blocks are member-major row-block-run-padded (fused matmul).
 # v9: v5 stripes cut by BOTH the x-VMEM budget and the SMEM-safe
 #     stream-group budget.
-PLAN_FORMAT_VERSION = 9
+# v10: balanced edge-quantile stripe cuts; precise block-byte-cap
+#      threshold (no more doubling overshoot).
+PLAN_FORMAT_VERSION = 10
 
 
 def default_cache_dir() -> str:

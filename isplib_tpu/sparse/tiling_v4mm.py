@@ -503,7 +503,10 @@ _pack_v4mm = jax.jit(
 
 def materialize_v4mm_edges_device(plan: MinMaxTrainPlan, row, col, val
                                   ) -> MinMaxTrainPlan:
-    """Pack a deferred plan's planes on device (no-op when packed)."""
+    """Pack a deferred plan's planes on device (no-op when packed).
+
+    ``edge_of_slot`` is retained on the materialized plan so per-call
+    value substitution (:func:`replace_plan_values`) stays possible."""
     if plan.edges is not None:
         return plan
     assert plan.edge_of_slot is not None, "deferred plan lost edge_of_slot"
@@ -512,3 +515,26 @@ def materialize_v4mm_edges_device(plan: MinMaxTrainPlan, row, col, val
         jnp.asarray(plan.block_starts), row, col, val,
         D=plan.D, rb=plan.rb, nt=plan.nt, col_offset=plan.col_offset)
     return dataclasses.replace(plan, edges=edges, meta=meta)
+
+
+def replace_plan_values(plan: MinMaxTrainPlan, val) -> MinMaxTrainPlan:
+    """Re-pack ONLY the value plane from a per-edge vector ``val``
+    (padded CSR edge order) — lets a traced computation run the max/min
+    kernel with runtime edge scalars (e.g. the fused pipeline's SDDMM
+    output) without rebuilding the plan.  Requires ``edge_of_slot``."""
+    assert plan.edge_of_slot is not None, (
+        "value substitution needs edge_of_slot (build with "
+        "defer_edges=True; device materialization retains it)")
+    eos = jnp.asarray(plan.edge_of_slot)
+    valid = eos >= 0
+    # stop_gradient: the packed plane only affects FORWARD values; the
+    # value gradient is carried by the graph's value leaf through the
+    # arg-routed spmm VJP (and bitcast_convert has no AD rule anyway)
+    val = jax.lax.stop_gradient(jnp.asarray(val))
+    v = jnp.where(valid, jnp.take(val, jnp.where(valid, eos, 0)), 0.0)
+    vplane = (jax.lax.bitcast_convert_type(v.astype(jnp.float32),
+                                           jnp.int32)
+              .reshape(-1, 1, 1, _LANE))
+    edges = jax.lax.dynamic_update_slice(
+        plan.edges, vplane, (0, 1, 0, 0))
+    return dataclasses.replace(plan, edges=edges)

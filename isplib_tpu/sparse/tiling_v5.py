@@ -190,11 +190,14 @@ def build_plan_v5_arrays(
             bid = (row // _BS) * n_bc + (col // _BS)
             counts = np.bincount(bid, minlength=n_br * n_bc)
         thr = max(dense_threshold, 1)
-        while True:
-            nb_real = int(np.count_nonzero(counts >= thr))
-            if nb_real * _BS * _BS * 2 <= max_block_bytes or nb_real == 0:
-                break
-            thr *= 2
+        nb_cap = max(1, max_block_bytes // (_BS * _BS * 2))
+        if int(np.count_nonzero(counts >= thr)) > nb_cap:
+            # precise cap: the smallest threshold whose block count fits
+            # the byte budget (the r4 doubling loop overshot — e.g.
+            # 64 → 256 where ~150 fits, leaving dense coverage on the
+            # table at full scale)
+            cs = np.sort(counts[counts >= thr])[::-1]
+            thr = int(cs[nb_cap]) + 1
         if bid is None:
             bid = (row // _BS) * n_bc + (col // _BS)
         dense_b = counts >= thr
@@ -206,27 +209,31 @@ def build_plan_v5_arrays(
     # VMEM) and the stream plan's per-group scalar-prefetch array
     # (group_base lives in 1 MB of SMEM — a single full-Reddit stripe
     # produced a 2.65 MB prefetch operand and failed to compile).
-    # Stripes are cut greedily on S·128 boundaries against both.
+    # Stripes are cut at BALANCED stream-edge quantiles (greedy cuts
+    # skewed widths on power-law graphs and collapsed group fill), then
+    # any over-wide stripe is split for the x budget.
     max_stripe_cols = max(S * _BS, (x_vmem_bytes // (kt * 4))
                           // (S * _BS) * (S * _BS))
     max_stream_edges = 14_000_000  # ~160k groups at typical fill ≈ 640KB
     stripe_bounds = []
     if nnz:
         win = S * _BS
-        sparse_per_win = np.bincount(
-            col[~is_dense] // win, minlength=_cdiv(num_cols, win))
-        c0 = 0
-        acc = 0
-        for w in range(len(sparse_per_win)):
-            w_end = min((w + 1) * win, num_cols)
-            if (w_end - c0 > max_stripe_cols
-                    or (acc + sparse_per_win[w] > max_stream_edges
-                        and w_end - c0 > win)):
-                stripe_bounds.append((c0, w * win))
-                c0 = w * win
-                acc = 0
-            acc += int(sparse_per_win[w])
-        stripe_bounds.append((c0, num_cols))
+        nwin = _cdiv(num_cols, win)
+        cum = np.cumsum(np.bincount(col[~is_dense] // win,
+                                    minlength=nwin))
+        stream_total = int(cum[-1]) if len(cum) else 0
+        n_e = max(1, _cdiv(stream_total, max_stream_edges))
+        cuts = [0]
+        for i in range(1, n_e):
+            w = int(np.searchsorted(cum, i * stream_total / n_e)) + 1
+            if w * win > cuts[-1] and w < nwin:
+                cuts.append(w * win)
+        cuts.append(num_cols)
+        for c0, c1 in zip(cuts[:-1], cuts[1:]):
+            while c1 - c0 > max_stripe_cols:  # x-budget sub-split
+                stripe_bounds.append((c0, c0 + max_stripe_cols))
+                c0 += max_stripe_cols
+            stripe_bounds.append((c0, c1))
     else:
         stripe_bounds.append((0, num_cols))
 

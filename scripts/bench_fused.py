@@ -42,9 +42,9 @@ def main():
     dnp = _load_or_gen(tag, lambda: gen_rmat_graph(
         n, e, zlib.crc32(b"reddit") & 0x7FFFFFFF, 4096))
     g = _to_graph(dnp)
-    tiled = build_tiling_from_numpy(g, dnp, k=32, build_backward=False,
+    tiled = build_tiling_from_numpy(g, dnp, k=32, build_backward=True,
                                     cache_tag=tag, rb=512, version=4,
-                                    S=8, gd=8)
+                                    S=8, gd=8, build_minmax=True)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
     y = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
@@ -71,6 +71,28 @@ def main():
         print(f"{name:14s}: XLA {tx*1e3:8.3f} ms ({g.nnz/tx/1e9:6.3f} "
               f"Ge/s) | Pallas {tp*1e3:8.3f} ms ({g.nnz/tp/1e9:6.3f} "
               f"Ge/s) | {tx/tp:4.1f}x relerr={err:.1e}", flush=True)
+
+        # fwd+bwd: the r5 kernel backward (two streaming passes) vs the
+        # XLA formulation under jax.grad (VERDICT r4 next #6)
+        def loss(b):
+            def f(x_, y_, g_):
+                return 0.5e-6 * jnp.sum(
+                    fused_mm(g_, x_, y_, op, backend=b) ** 2)
+            return f
+        jgx = jax.jit(jax.grad(loss("xla"), argnums=(0, 1)))
+        jgp = jax.jit(jax.grad(loss(None), argnums=(0, 1)))
+        gwx = jgx(x, y, g)
+        gwp = jgp(x, y, tiled)
+        gerr = max(float(np.abs(np.asarray(a) - np.asarray(b)).max()
+                         / (np.abs(np.asarray(a)).max() + 1e-9))
+                   for a, b in zip(gwx, gwp))
+        tbx = chain_time(lambda x_: jgx(x_, y, g)[0] + x_ * 0, x,
+                         max(4, args.iters // 2))
+        tbp = chain_time(lambda x_: jgp(x_, y, tiled)[0] + x_ * 0, x,
+                         max(4, args.iters // 2))
+        print(f"{name:14s}: fwd+bwd XLA {tbx*1e3:8.3f} ms | Pallas "
+              f"{tbp*1e3:8.3f} ms | {tbx/tbp:4.1f}x graderr={gerr:.1e}",
+              flush=True)
 
 
 if __name__ == "__main__":

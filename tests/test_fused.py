@@ -161,3 +161,55 @@ def test_fused_pallas_mean_scaling(rng):
     got = np.asarray(fused_mm(tg, jnp.asarray(x), jnp.asarray(y), op))
     scale = np.abs(want).max() + 1e-6
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2 * scale)
+
+
+def _tiled_mm(g):
+    """Tiled graph carrying the r5 train max/min plans (fwd_mm)."""
+    from isplib_tpu.sparse.tiling import build_tiling
+    return build_tiling(g, rb=256, version=4, build_minmax=True)
+
+
+def test_fused_minmax_kernel_matches_xla(rng):
+    """AOP_MAX/MIN with the COPY_RHS message (the reference's max/min
+    instantiation, csrc/fusedmm.cpp:168-186) runs through the r5 train
+    arg kernel with substituted per-edge scalars (VERDICT r4 next #6)."""
+    g, x, y, *_ = make(rng, n=150, m=140, nnz=900, k=16)
+    tg = _tiled_mm(g)
+    assert tg.fwd_mm is not None
+    for aop in (Reduce.MAX, Reduce.MIN):
+        op = FusedOp(vop=VectorOp.COPY_RHS, rop=ReduceOp.NOOP,
+                     sop=None, vsc=ScaleOp.MUL, aop=aop)
+        want = np.asarray(fused_mm(g, jnp.asarray(x), jnp.asarray(y), op,
+                                   backend="xla"))
+        got = np.asarray(fused_mm(tg, jnp.asarray(x), jnp.asarray(y), op))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_minmax_sop_pipeline(rng):
+    """Max over sigmoid-scaled messages: s_e = sigmoid(1)·val_e (NOOP
+    ROP feeds ones into the SOP, matching the XLA path's contract)."""
+    g, x, y, *_ = make(rng, n=120, m=110, nnz=600, k=8)
+    tg = _tiled_mm(g)
+    op = FusedOp(vop=VectorOp.COPY_RHS, rop=ReduceOp.NOOP,
+                 sop=jax.nn.sigmoid, vsc=ScaleOp.MUL, aop=Reduce.MAX)
+    want = np.asarray(fused_mm(g, jnp.asarray(x), jnp.asarray(y), op,
+                               backend="xla"))
+    got = np.asarray(fused_mm(tg, jnp.asarray(x), jnp.asarray(y), op))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_minmax_grad_matches_xla(rng):
+    """Gradients route through the winner edges (spmm's arg-routed VJP)
+    and through the differentiable edge-scalar stage."""
+    g, x, y, *_ = make(rng, n=100, m=90, nnz=500, k=8)
+    tg = _tiled_mm(g)
+    op = FusedOp(vop=VectorOp.COPY_RHS, rop=ReduceOp.NOOP,
+                 sop=None, vsc=ScaleOp.MUL, aop=Reduce.MAX)
+
+    def loss(graph, xx, yy):
+        return jnp.sum(fused_mm(graph, xx, yy, op) ** 2)
+
+    gy_w = jax.grad(lambda yy: loss(g, jnp.asarray(x), yy))(jnp.asarray(y))
+    gy_g = jax.grad(lambda yy: loss(tg, jnp.asarray(x), yy))(jnp.asarray(y))
+    np.testing.assert_allclose(np.asarray(gy_g), np.asarray(gy_w),
+                               rtol=1e-4, atol=1e-4)
