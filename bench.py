@@ -196,6 +196,29 @@ def gather_roofline_edges_per_s(k: int, bw: float) -> float:
     return bw / (k * 4 + 8)
 
 
+def vpu_gather_floor_s(tiled, k: int) -> float:
+    """Mandatory VPU work of the stream half: the windowed gather runs
+    S visits of ~3 elementwise ops over a full (kt, 128) tile per lane
+    group plus ~4 ops of select/one-hot build, at the measured v5e VPU
+    rate (~2e12 elem-ops/s, scripts/ablate_v4.py).  Sparse-regime
+    graphs are VPU-bound here, not HBM-bound — logged as a diagnostic
+    so the %-of-bytes-bound number is interpretable (vs_baseline stays
+    on the r2-comparable bytes/flops bound)."""
+    from isplib_tpu.sparse.tiling_v5 import HybridPlanV5
+    plan = getattr(tiled, "fwd", None)
+    if not isinstance(plan, HybridPlanV5):
+        return 0.0
+    k32 = _round_up(k, 32)
+    t = 0.0
+    for s in plan.streams:
+        if s is None:
+            continue
+        kt = min(s.kt, k32)
+        n_kt = _cdiv(k32, kt)
+        t += s.ng * n_kt * (s.S * 3 + 4) * kt * 128 / 2.05e12
+    return t
+
+
 # ---------------------------------------------------------------------------
 # Benchmark graphs
 # ---------------------------------------------------------------------------
@@ -501,6 +524,12 @@ def main():
         f"of plan-aware bound {bound / 1e9:.2f} Ge/s "
         f"(gather-model roofline {groof / 1e9:.2f} Ge/s) "
         f"[{time.time() - t_start:.0f}s]")
+    t_vpu = vpu_gather_floor_s(tiled, args.k)
+    if t_vpu > 0:
+        b_vpu = nnz / max(t_vpu, nnz / bound)
+        log(f"  VPU-gather floor of the stream half: {t_vpu * 1e3:.3f} ms"
+            f" → bound incl. VPU {b_vpu / 1e9:.2f} Ge/s "
+            f"(measured = {100 * edges_per_s / b_vpu:.1f}% of it)")
 
     if not args.skip_bwd:
         t_bwd = bench_spmm(tiled, args.k, max(2, args.iters // 2),
