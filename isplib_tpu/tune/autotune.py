@@ -84,9 +84,11 @@ DEFAULT_CONFIGS = [
     # (density-rep: 2.9 vs 0.6 Ge/s for v2/v3, scripts/bench_v5.py).
     # version 3 = celled BSR hybrid; version 2 = column-major streaming;
     # version 1 = row-block grid kernel.
+    dict(rb=256, version=5, dense_threshold=64, S=4, g=16, gd=8),
     dict(rb=256, version=5, dense_threshold=64, S=4, g=8, gd=8),
     dict(rb=256, version=5, dense_threshold=128, S=4, g=8, gd=8),
     dict(rb=512, version=5, dense_threshold=128, S=6, g=8, gd=8),
+    dict(rb=512, version=5, dense_threshold=128, S=6, g=16, gd=8),
     dict(rb=512, version=5, dense_threshold=192, S=8, g=8, gd=8),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=64, g=32),
     dict(rb=256, ct=128, eb=512, version=3, dense_threshold=96, g=16),

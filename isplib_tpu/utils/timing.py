@@ -61,6 +61,17 @@ def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False,
         drain(o)
         total = time.perf_counter() - t0
         say(f"chain {r + 1}/{repeats} of {iters} done")
+        if r == 0 and repeats > 1 and total < 0.05 and iters >= 10:
+            # sub-ms kernels: a short chain is dominated by the tunnel's
+            # ms-scale submission/readback jitter (observed 2-3x swings
+            # between processes on the headline stage).  Extend the
+            # chain so each repeat covers >= ~60 ms of device work.
+            scale = int(0.06 / max(total, 1e-4)) + 1
+            if scale > 1:
+                iters *= scale
+                say(f"chain too short ({total * 1e3:.1f} ms) — "
+                    f"extending to {iters} iters")
+                continue
         per_call = (total - lat1) / max(iters - 1, 1)
         if per_call <= 0 or iters < 10:
             # tiny graphs / few iters: the latency estimate's variance
