@@ -144,9 +144,11 @@ def train_node_classifier(
     # Warm-up compile outside the timed region (first epoch would otherwise
     # absorb XLA compile time; the reference similarly excludes import-time
     # kernel autotuning from its epoch timer).
-    p_w, bs_w, os_w, _, _ = step(params, batch_stats, opt_state, x, y,
-                                 train_mask, rng)
-    jax.block_until_ready(p_w)
+    p_w, bs_w, os_w, l_w, _ = step(params, batch_stats, opt_state, x, y,
+                                   train_mask, rng)
+    float(l_w)  # scalar readback: block_until_ready returns EARLY on
+    # tunneled runtimes (utils/timing.py) — only a readback drains the
+    # queue, so compile time cannot bleed into the first timed epochs
     del p_w, bs_w, os_w
     # donated buffers: re-materialize
     params = variables["params"]
