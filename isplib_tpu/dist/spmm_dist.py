@@ -87,14 +87,19 @@ def _run_shard_plan(plan, x: jax.Array) -> jax.Array:
     return spmm_tiled_v2(plan, x)
 
 
-def _tiled_body_fwd(plans, send_ids, x_loc, *, axis_name, halo, d):
+def _tiled_body_fwd(plans, send_ids, x_loc, *, axis_name, halo, d,
+                    skip_halo=False):
     """Per-shard SUM aggregation through the Pallas kernels: halo
     exchange, then local half over x_loc + halo half over the received
     features (VERDICT r2 next #3 — the multi-chip path must not run at
-    segment-sum speed)."""
+    segment-sum speed).  ``skip_halo`` (static): a partition with ZERO
+    halo edges (e.g. mesh(1)) degenerates to the plain local kernel —
+    no exchange, no inert halo launches."""
     plans = _squeeze(plans)
     send_ids = send_ids[0]
     loc_fwd, _, halo_fwd, _ = plans
+    if skip_halo:
+        return _run_shard_plan(loc_fwd, x_loc)
 
     send = jnp.take(_pad1(x_loc), send_ids, axis=0)   # (D, H, K)
     halo_feats = jax.lax.all_to_all(
@@ -105,7 +110,7 @@ def _tiled_body_fwd(plans, send_ids, x_loc, *, axis_name, halo, d):
 
 
 def _tiled_body_bwd(plans, send_ids, g_loc, *, axis_name, halo, d,
-                    rps):
+                    rps, skip_halo=False):
     """Manual transpose of _tiled_body_fwd: transpose-SpMM via the
     per-shard transpose plans, reverse all_to_all for the halo-feature
     gradients, scatter-add back into the sender's rows."""
@@ -113,6 +118,8 @@ def _tiled_body_bwd(plans, send_ids, g_loc, *, axis_name, halo, d,
     send_ids = send_ids[0]
     _, loc_bwd, _, halo_bwd = plans
     k = g_loc.shape[-1]
+    if skip_halo:
+        return _run_shard_plan(loc_bwd, g_loc)
 
     gh = _run_shard_plan(halo_bwd, g_loc)             # (d*halo, K)
     back = jax.lax.all_to_all(
@@ -132,7 +139,7 @@ def _spmm_sharded_tiled_sum(sg: "ShardedGraph", x: jax.Array, mesh,
     path, ``tiling=None``, for learnable edge weights when sharded)."""
     fn = shard_map(
         partial(_tiled_body_fwd, axis_name=axis_name, halo=sg.halo,
-                d=sg.num_shards),
+                d=sg.num_shards, skip_halo=sg.halo_edges == 0),
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
@@ -149,7 +156,8 @@ def _sst_bwd(mesh, axis_name, res, g):
     sg, xtok = res
     fn = shard_map(
         partial(_tiled_body_bwd, axis_name=axis_name, halo=sg.halo,
-                d=sg.num_shards, rps=sg.rows_per_shard),
+                d=sg.num_shards, rps=sg.rows_per_shard,
+                skip_halo=sg.halo_edges == 0),
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
