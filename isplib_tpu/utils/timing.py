@@ -61,16 +61,19 @@ def chain_time(f: Callable, x0, iters: int = 20, verbose: bool = False,
         drain(o)
         total = time.perf_counter() - t0
         say(f"chain {r + 1}/{repeats} of {iters} done")
-        if r == 0 and repeats > 1 and total < 0.05 and iters >= 10:
-            # sub-ms kernels: a short chain is dominated by the tunnel's
-            # ms-scale submission/readback jitter (observed 2-3x swings
-            # between processes on the headline stage).  Extend the
-            # chain so each repeat covers >= ~60 ms of device work.
-            scale = int(0.06 / max(total, 1e-4)) + 1
+        # Chains must dwarf BOTH ~60 ms of work AND ~5x the single-call
+        # latency: per_call subtracts lat1 (which embeds the tunnel's
+        # ~40 ms readback RTT), so a chain comparable to lat1 leaves the
+        # RTT's run-to-run variance as the dominant error — min-of-N
+        # then picks the luckiest fluctuation and can exceed the
+        # physical bound (observed 103% of the HBM bound).
+        target = max(0.06, 5.0 * lat1)
+        if r == 0 and repeats > 1 and total < target and iters >= 10:
+            scale = int(target / max(total, 1e-4)) + 1
             if scale > 1:
                 iters *= scale
-                say(f"chain too short ({total * 1e3:.1f} ms) — "
-                    f"extending to {iters} iters")
+                say(f"chain too short ({total * 1e3:.1f} ms vs target "
+                    f"{target * 1e3:.0f} ms) — extending to {iters} iters")
                 continue
         per_call = (total - lat1) / max(iters - 1, 1)
         if per_call <= 0 or iters < 10:
