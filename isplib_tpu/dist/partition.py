@@ -58,12 +58,14 @@ class ShardedGraph:
     received from shard s; sentinel ``num_shards*halo``).
 
     ``plans`` (optional, built with ``partition_rows(..., tiling=...)``):
-    four stacked per-shard v2 tiling plans — (local fwd, local transpose,
+    four stacked per-shard tiling plans — (local fwd, local transpose,
     halo fwd, halo transpose) — every array leaf carrying a leading
-    ``num_shards`` dim with identical static shapes (chunk counts padded
-    to the per-shard max with inert chunks).  With plans present, the
-    sum/mean sharded SpMM runs the Pallas tiled kernels per shard instead
-    of the XLA segment-sum path (VERDICT r2 next #3); edge values are
+    ``num_shards`` dim with identical static shapes (counts padded to
+    the per-shard max with inert entries).  r5 default = v5
+    BSR2+stream hybrid plans (the flagship kernel generation;
+    ``tiling={"version": 2, ...}`` keeps the v2 cell plans).  With
+    plans present, the sum/mean sharded SpMM runs the Pallas kernels
+    per shard instead of the XLA segment-sum path; edge values are
     baked into the plans and treated as constants under AD there.
     """
 
@@ -162,7 +164,7 @@ def _build_shard_plans(loc_sets: list, halo_sets: list, rps: int,
                  for p in (loc_fwd, loc_bwd, halo_fwd, halo_bwd))
 
 
-def _stack_bsr2(bs: list, num_rows: int, num_cols: int):
+def _stack_bsr2(bs: list, num_rows: int):
     """Stack per-shard BSR2 halves (None = inert shard: zero blocks,
     empty superblock ranges)."""
     import dataclasses as dc
@@ -201,7 +203,7 @@ def _stack_bsr2(bs: list, num_rows: int, num_cols: int):
         num_rows=num_rows, rank=None)
 
 
-def _stack_stream(st: list, num_rows: int, num_cols: int):
+def _stack_stream(st: list, num_rows: int):
     """Stack per-shard v4 stream halves (None = inert shard: empty
     block ranges)."""
     import dataclasses as dc
@@ -250,9 +252,9 @@ def _stack_v5_plans(plans: list):
     bsr2s, streams = [], []
     for si in range(len(p0.stripe_bounds)):
         bsr2s.append(_stack_bsr2([p.bsr2s[si] for p in plans],
-                                 p0.num_rows, p0.num_cols))
+                                 p0.num_rows))
         streams.append(_stack_stream([p.streams[si] for p in plans],
-                                     p0.num_rows, p0.num_cols))
+                                     p0.num_rows))
     return dc.replace(
         p0, bsr2s=tuple(bsr2s), streams=tuple(streams),
         dense_edges=sum(p.dense_edges for p in plans),

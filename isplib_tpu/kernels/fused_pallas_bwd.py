@@ -93,7 +93,6 @@ def _fused_bwd_kernel(
         dma(0, 0).start()
 
     rb_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, _LANE), 0)
-    res_k = 2 * kt if swap else kt
 
     def gather_res(cols, base, rows_k):
         g = jnp.zeros((rows_k, _LANE), jnp.float32)
