@@ -457,7 +457,10 @@ def main():
     ap.add_argument("--skip-minmax", action="store_true")
     # defaults = measured headline winners (scripts/bench_v5.py sweep;
     # the density-rep stage uses its own measured config below)
-    ap.add_argument("--rb", type=int, default=256)
+    ap.add_argument("--rb", type=int, default=0,
+                    help="stream row-block; 0 = occupancy-adaptive "
+                         "(256 dense, 512 sparse — taller blocks lift "
+                         "group fill at low occupancy)")
     ap.add_argument("--ct", type=int, default=128)
     ap.add_argument("--eb", type=int, default=512)
     ap.add_argument("--version", type=int, default=5,
@@ -493,6 +496,10 @@ def main():
     occ_est = e / max((n / 128.0) ** 2, 1.0)
     if not args.g:
         args.g = 16 if occ_est >= 200 else 8
+    if not args.rb:
+        # r5 full-scale sweep: rb=512 lifts stream fill 0.52 -> 0.69 at
+        # occ ~35 (39.5 -> 33.2 ms); the dense regime is insensitive
+        args.rb = 256 if occ_est >= 200 else 512
 
     # ---- stage 1+2: headline SpMM on the r1/r2-comparable graph --------
     tag = f"{base}_s{args.scale}_m{args.edge_multiple}"
